@@ -1,0 +1,208 @@
+"""Gait schedules: fixed-shape contact-phase slots (pure JAX pytrees).
+
+TPU-native replacement for the reference's mutable, contact-indexed spline
+time grid (reference: mpc/spline/end_effector_splines.cpp:34-153 construction,
+:366-500 AddPoly/RemovePoly, mpc/mpc.cpp:1220-1230 UpdateInitTime).
+
+Design: per end effector, a fixed array of ``P`` phase slots with boundary
+times ``bounds[P+1]``.  Even slots are stance, odd slots are swing — always.
+A foot that is mid-swing "now" simply has its slot-0 stance interval in the
+past.  Window shifts never mutate topology; they roll the arrays left by one
+full (stance, swing) cycle and append a new cycle at the end, keeping every
+shape static.  The phase boundary times ARE the bilevel decision variables
+theta (the reference's contact times).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GaitSchedule:
+    """Contact schedule for all end effectors.
+
+    bounds: [E, P+1] absolute phase boundary times, nondecreasing per row.
+            Slot p spans [bounds[:, p], bounds[:, p+1]); even p = stance.
+    """
+    bounds: jax.Array
+
+    @property
+    def num_phases(self) -> int:
+        return self.bounds.shape[-1] - 1
+
+
+def make_trot(cfg: MPCConfig, t0: float = 0.0) -> GaitSchedule:
+    """Default trot: 0.3 s alternating phases, diagonal pairs out of phase.
+
+    Matches the reference default: switching times every 0.3 s
+    (mpc/mpc.cpp:707-712 CreateDefaultSwitchingTimes) with FR(1)/RL(2)
+    starting in contact and FL(0)/RR(3) starting in swing
+    (mpc/trajectory.cpp:24-28).  An EE starting in swing gets its slot-0
+    stance placed wholly in the past.
+    """
+    E, P, d = cfg.num_ee, cfg.num_phase_slots, cfg.phase_duration
+    base = t0 + jnp.arange(P + 1, dtype=jnp.result_type(float)) * d
+    rows = []
+    for ee in range(E):
+        start_in_contact = ee in (1, 2) if E == 4 else (ee % 2 == 1)
+        # stance slots are even: a foot in contact at t0 starts its stance at
+        # t0; a foot in swing at t0 had its stance end at t0 (shift back).
+        rows.append(base if start_in_contact else base - d)
+    return GaitSchedule(bounds=jnp.stack(rows))
+
+
+def make_standing(cfg: MPCConfig, t0: float = 0.0) -> GaitSchedule:
+    """All feet in stance for the whole window (swing slots zero-length)."""
+    E, P, d = cfg.num_ee, cfg.num_phase_slots, cfg.phase_duration
+    # stance slots long, swing slots zero-length
+    ft = jnp.result_type(float)
+    durs = jnp.where(jnp.arange(P) % 2 == 0, jnp.asarray(d * 2.0, ft),
+                     jnp.asarray(0.0, ft))
+    bounds = t0 + jnp.concatenate([jnp.zeros(1, ft), jnp.cumsum(durs)])
+    return GaitSchedule(bounds=jnp.tile(bounds[None, :], (cfg.num_ee, 1)))
+
+
+# ----------------------------------------------------------------------------
+# Queries (all pure; vmap-able over the EE axis by passing a single row)
+# ----------------------------------------------------------------------------
+
+def phase_index(bounds: jax.Array, t: jax.Array) -> jax.Array:
+    """Slot p with bounds[p] <= t < bounds[p+1], clipped to [0, P-1].
+
+    Ties at a boundary resolve to the later slot (matching the reference's
+    GetLowerNodeIdx convention of `time >= node_time`).  Zero-length slots
+    are skipped by the strict comparison on the right edge.
+    """
+    P = bounds.shape[-1] - 1
+    # count boundaries <= t among bounds[1..P]; zero-length slots collapse
+    idx = jnp.sum(t >= bounds[1:], axis=-1)
+    # back off zero-length slots: ensure chosen slot has positive length when
+    # possible by preferring the last slot whose start <= t and end > t.
+    idx = jnp.clip(idx, 0, P - 1)
+    return idx.astype(jnp.int32)
+
+
+def in_contact(bounds: jax.Array, t: jax.Array) -> jax.Array:
+    """True if the EE is in stance at time t (even slot)."""
+    return phase_index(bounds, t) % 2 == 0
+
+
+def contact_flags(sched: GaitSchedule, t: jax.Array) -> jax.Array:
+    """[E] bool stance flags at time t (reference Trajectory::GetContacts)."""
+    return jax.vmap(lambda b: in_contact(b, t))(sched.bounds)
+
+
+def next_touchdown_time(bounds: jax.Array, t: jax.Array) -> jax.Array:
+    """Earliest stance-start boundary strictly after t.
+
+    Reference: Trajectory::GetNextContactTime.  Touchdowns are the even-slot
+    start boundaries bounds[2s].
+    """
+    P = bounds.shape[-1] - 1
+    starts = bounds[0::2]  # even boundaries = touchdowns
+    big = bounds[-1] + 1e6
+    masked = jnp.where(starts > t, starts, big)
+    return jnp.min(masked)
+
+
+def current_swing_time(bounds: jax.Array, t: jax.Array) -> jax.Array:
+    """Duration of the swing phase active (or most recently started) at t.
+
+    Reference: Trajectory::GetCurrentSwingTime — used by the touchdown-pin
+    constraint gate.  If t is in stance, returns the duration of the next
+    swing slot.
+    """
+    p = phase_index(bounds, t)
+    swing_slot = jnp.where(p % 2 == 1, p, jnp.minimum(p + 1, bounds.shape[-1] - 2))
+    return bounds[swing_slot + 1] - bounds[swing_slot]
+
+
+def advance_window(sched: GaitSchedule, t0: jax.Array,
+                   cfg: MPCConfig) -> GaitSchedule:
+    """Receding-horizon shift: drop fully-past cycles, append new ones.
+
+    Fixed-shape equivalent of RemoveUnusedPolys + AddPolys
+    (mpc/mpc.cpp:1220-1230): per EE, while the first (stance, swing) cycle is
+    entirely before t0, roll the bounds left by 2 and extend the tail by one
+    nominal cycle.  Implemented as a single gather with a per-EE shift count,
+    so it is jit-friendly and O(P).
+    """
+    b = sched.bounds  # [E, P+1]
+    P = b.shape[-1] - 1
+    d = cfg.phase_duration
+    # number of full cycles (2 slots) completely before t0, per EE
+    # cycle c is past iff bounds[2(c+1)] <= t0
+    cyc_ends = b[:, 2::2]  # [E, P//2] boundaries at ends of cycles
+    n_past = jnp.sum(cyc_ends <= t0[..., None], axis=-1).astype(jnp.int32)  # [E]
+    shift = 2 * n_past
+
+    idx = jnp.arange(P + 1)[None, :] + shift[:, None]          # [E, P+1]
+    overflow = idx > P
+    idx_c = jnp.clip(idx, 0, P)
+    gathered = jnp.take_along_axis(b, idx_c, axis=-1)
+    # entries past the original array extend with the nominal phase duration
+    extra = (idx - P).astype(b.dtype) * d
+    new_b = jnp.where(overflow, b[:, -1:] + extra, gathered)
+    return GaitSchedule(bounds=new_b)
+
+
+def roll_spline_vars(f_nodes: jax.Array, footholds: jax.Array,
+                     n_past: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Shift per-stance-slot decision variables in lockstep with the window.
+
+    f_nodes:   [E, S, F-1, 3, 2]; footholds: [E, S+1, 2]; n_past: [E] cycles
+    dropped by :func:`advance_window`.  New tail slots are zero-filled
+    (forces) / copied from the last foothold (positions) as warm starts.
+    """
+    S = f_nodes.shape[1]
+    idx_f = jnp.arange(S)[None, :] + n_past[:, None]
+    over_f = idx_f > S - 1
+    idx_fc = jnp.clip(idx_f, 0, S - 1)
+    f_new = jnp.take_along_axis(f_nodes, idx_fc[:, :, None, None, None],
+                                axis=1)
+    f_new = jnp.where(over_f[:, :, None, None, None], 0.0, f_new)
+
+    Sp1 = footholds.shape[1]
+    idx_p = jnp.arange(Sp1)[None, :] + n_past[:, None]
+    idx_pc = jnp.clip(idx_p, 0, Sp1 - 1)
+    p_new = jnp.take_along_axis(footholds, idx_pc[:, :, None], axis=1)
+    # overflow footholds keep the last known value (clip already does this)
+    return f_new, p_new
+
+
+def past_cycles(sched: GaitSchedule, t0: jax.Array) -> jax.Array:
+    """[E] number of fully-past (stance, swing) cycles — input to the rolls."""
+    cyc_ends = sched.bounds[:, 2::2]
+    return jnp.sum(cyc_ends <= t0[..., None], axis=-1).astype(jnp.int32)
+
+
+def set_ee_in_contact(sched: GaitSchedule, ee_mask: jax.Array,
+                      t: jax.Array) -> GaitSchedule:
+    """Early-touchdown fixup: pull the next touchdown back to time t.
+
+    Reference: MPC::AdjustForCurrentContacts + Trajectory::SetEEInContact
+    (mpc/mpc.cpp:1195-1203) — when a foot lands early (within 70 ms of its
+    scheduled touchdown), snap the upcoming stance start to now.  ee_mask is
+    a [E] bool of feet to adjust.
+    """
+    b = sched.bounds  # [E, P+1]
+    starts_idx = jnp.arange(b.shape[-1])
+    is_td = (starts_idx % 2 == 0)[None, :]
+    future = b > t
+    # first future touchdown boundary per EE
+    cand = jnp.where(is_td & future, b, b[:, -1:] + 1e6)
+    td_col = jnp.argmin(cand, axis=-1)  # [E]
+    onehot = jax.nn.one_hot(td_col, b.shape[-1], dtype=b.dtype)
+    new_b = jnp.where(ee_mask[:, None], b * (1 - onehot) + t * onehot, b)
+    # keep monotonic: boundaries before the moved one must not exceed it
+    new_b = jnp.minimum(new_b, jnp.where(
+        starts_idx[None, :] <= td_col[:, None], t + 0.0 * new_b, jnp.inf))
+    new_b = jnp.where(ee_mask[:, None], new_b, b)
+    return GaitSchedule(bounds=new_b)

@@ -1,0 +1,132 @@
+"""Contact-phase cubic-Hermite splines for forces and foot positions.
+
+Pure-function, fixed-shape replacement for the reference's
+``EndEffectorSplines`` (mpc/spline/end_effector_splines.cpp).  Semantics
+preserved:
+
+* FORCE (per coord): inside a stance slot the force is a chain of
+  ``F = num_force_polys`` cubic Hermite segments on a uniform sub-grid of the
+  stance interval.  Only the F-1 *interior* nodes are decision variables,
+  each (value, deriv) with the derivative variable scaled by FORCE_MULT=100
+  for conditioning (end_effector_splines.h:152).  The stance boundary nodes
+  are fixed at (0, 0) and the force is identically zero in swing — the
+  reference achieves this by making boundary nodes NoDeriv with never-set
+  zero vars (GetMutableNodes returns only FullDeriv force nodes,
+  end_effector_splines.cpp:905-914).
+
+* POSITION xy (per coord): one foothold variable per stance slot (the
+  reference ties the TouchDown and LiftOff NoDeriv nodes of a stance to a
+  single QP variable, end_effector_splines.cpp:916-935); during swing the
+  position is a zero-end-derivative Hermite (smoothstep) between consecutive
+  footholds.
+
+* POSITION z: NOT a decision variable.  foot_offset during stance; during
+  swing a two-segment Hermite lifting to ``swing_height`` at mid-swing with
+  zero apex derivative (Trajectory::SetSwingPosZ, trajectory.cpp:303-317).
+
+Everything is differentiable in the phase boundary times ``bounds`` — the
+reference's ~1.3k LoC of hand-written ComputePartialWrtTime /
+ComputeCoefPartialWrtTime (end_effector_splines.cpp:513-804) are replaced by
+``jax.grad`` through these functions.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bilevel_gait_gen_tpu.mpc.gait import phase_index
+
+FORCE_MULT = 100.0
+_EPS = 1e-8
+
+
+def _hermite(x0, x1, d0, d1, dt, s):
+    """Cubic Hermite value at local time s in [0, dt] (reference
+    EndEffectorSplines::ValueAt, end_effector_splines.cpp:169-199)."""
+    dt = jnp.maximum(dt, _EPS)
+    a2 = -(3.0 * (x0 - x1)) / dt**2 - (2.0 * d0 + d1) / dt
+    a3 = (2.0 * (x0 - x1)) / dt**3 + (d0 + d1) / dt**2
+    return x0 + d0 * s + a2 * s * s + a3 * s * s * s
+
+
+def force_value(bounds: jax.Array, f_nodes: jax.Array, t: jax.Array,
+                num_force_polys: int) -> jax.Array:
+    """Contact force of one EE at time t -> [3].
+
+    bounds:  [P+1] phase boundaries (even slots stance)
+    f_nodes: [S, F-1, 3, 2] interior stance nodes (value, scaled-deriv)
+    """
+    F = num_force_polys
+    p = phase_index(bounds, t)
+    is_stance = (p % 2 == 0)
+    s_idx = p // 2
+
+    t_lo = bounds[p]
+    t_hi = bounds[p + 1]
+    dur = jnp.maximum(t_hi - t_lo, _EPS)
+    seg_dt = dur / F
+    j = jnp.clip(jnp.floor((t - t_lo) / seg_dt).astype(jnp.int32), 0, F - 1)
+    s_local = t - (t_lo + j.astype(t.dtype) * seg_dt)
+
+    nodes = f_nodes[s_idx]  # [F-1, 3, 2]
+    zero = jnp.zeros((3, 2), dtype=f_nodes.dtype)
+    # node j (left) and j+1 (right) of the sub-grid; grid node k in 1..F-1 is
+    # variable nodes[k-1]; grid nodes 0 and F are fixed (0, 0).
+    left = jnp.where((j == 0)[..., None, None], zero, nodes[jnp.maximum(j - 1, 0)])
+    right = jnp.where((j == F - 1)[..., None, None], zero,
+                      nodes[jnp.minimum(j, F - 2)])
+
+    val = _hermite(left[:, 0], right[:, 0],
+                   FORCE_MULT * left[:, 1], FORCE_MULT * right[:, 1],
+                   seg_dt, s_local)
+    return jnp.where(is_stance, val, jnp.zeros(3, dtype=f_nodes.dtype))
+
+
+def foot_position(bounds: jax.Array, footholds: jax.Array, t: jax.Array,
+                  swing_height: float, foot_offset: float) -> jax.Array:
+    """World foot position of one EE at time t -> [3].
+
+    bounds:    [P+1]; footholds: [S+1, 2] xy per stance slot (slot 2s ->
+    foothold s; the trailing entry is the target past the last stance).
+    """
+    p = phase_index(bounds, t)
+    is_stance = (p % 2 == 0)
+    s_idx = p // 2
+
+    # xy
+    xy_stance = footholds[s_idx]
+    t_lo = bounds[p]
+    dur = jnp.maximum(bounds[p + 1] - t_lo, _EPS)
+    tau = jnp.clip((t - t_lo) / dur, 0.0, 1.0)
+    blend = tau * tau * (3.0 - 2.0 * tau)  # zero-deriv Hermite (smoothstep)
+    xy_swing = footholds[s_idx] + blend * (footholds[jnp.minimum(
+        s_idx + 1, footholds.shape[0] - 1)] - footholds[s_idx])
+    xy = jnp.where(is_stance, xy_stance, xy_swing)
+
+    # z: prescribed swing profile (two Hermite halves to the apex)
+    half = 0.5 * dur
+    first_half = tau < 0.5
+    s_loc = jnp.where(first_half, t - t_lo, t - t_lo - half)
+    z_swing = jnp.where(
+        first_half,
+        _hermite(foot_offset, swing_height, 0.0, 0.0, half, s_loc),
+        _hermite(swing_height, foot_offset, 0.0, 0.0, half, s_loc),
+    )
+    z = jnp.where(is_stance, jnp.asarray(foot_offset, dtype=xy.dtype), z_swing)
+    return jnp.concatenate([xy, z[None]])
+
+
+def forces_all(sched_bounds: jax.Array, f_nodes: jax.Array, t: jax.Array,
+               num_force_polys: int) -> jax.Array:
+    """[E, 3] forces for all EEs at time t."""
+    return jax.vmap(lambda b, fn: force_value(b, fn, t, num_force_polys))(
+        sched_bounds, f_nodes)
+
+
+def foot_positions_all(sched_bounds: jax.Array, footholds: jax.Array,
+                       t: jax.Array, swing_height: float,
+                       foot_offset: float) -> jax.Array:
+    """[E, 3] foot positions for all EEs at time t."""
+    return jax.vmap(lambda b, fh: foot_position(b, fh, t, swing_height,
+                                                foot_offset))(
+        sched_bounds, footholds)

@@ -1,0 +1,150 @@
+"""Configuration dataclasses (YAML-compatible with the reference's keys).
+
+Replaces the reference's utils::ConfigParser + MPCInfo hand-copying
+(reference: utils/include/config_parser.h:14-40, mpc/include/mpc.h:39-62,
+apps/mpc_demo.cpp:26-60).  One frozen dataclass, loadable from the same YAML
+vocabulary, validated, and hashable so it can be passed as a static argument
+to jitted functions (all shape-determining fields are Python ints).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Static MPC problem configuration.
+
+    Shape-determining fields (all Python ints — static under jit):
+      num_nodes:        horizon nodes N (reference `num_nodes`)
+      num_ee:           end effectors E
+      num_force_polys:  cubic force polynomials per stance phase F
+                        (reference Trajectory ctor hardcodes 3,
+                         trajectory.cpp:34)
+      num_phase_slots:  fixed phase slots P per EE covering the horizon +
+                        margin; even slots are stance, odd are swing (our
+                        fixed-shape replacement for AddPoly/RemovePoly)
+      samples_per_stance: force-sample points per stance for the friction
+                        cone / force box (reference FB_PER_FORCE=10,
+                        mpc/include/mpc.h:320)
+      ee_node_start:    first node with an EE-box constraint (reference
+                        EE_NODE_START=4, mpc_single_rigid_body.h:71)
+    """
+    # Shapes
+    num_nodes: int = 20
+    num_ee: int = 4
+    num_force_polys: int = 3
+    num_phase_slots: int = 8
+    samples_per_stance: int = 10
+    ee_node_start: int = 4
+
+    # Timing
+    dt: float = 0.05
+
+    # Physical / constraint parameters
+    friction_coef: float = 0.5
+    force_bound: float = 150.0
+    swing_height: float = 0.075
+    foot_offset: float = 0.015
+    ee_box_size: Tuple[float, float] = (0.15, 0.15)
+
+    # Costs (reference a1_configuration.yaml Q_srbd_diag + force_cost;
+    # diagonal regularization mpc.cpp:1090-1095)
+    q_diag: Tuple[float, ...] = (340.0, 340.0, 4000.0,
+                                 0.1, 0.1, 10.0,
+                                 3000.0, 3000.0, 3000.0,
+                                 1.0, 1.0, 1.0)
+    force_cost: float = 0.0
+    diag_reg: float = 1e-3
+
+    # SQP / merit (reference mu_=5000 mpc.cpp:65; <=10 init iters mpc.cpp:85)
+    merit_mu: float = 5000.0
+    max_ls_iters: int = 10
+    init_run_iters: int = 10
+    td_fraction: float = 0.75
+
+    # Interior-point solver
+    ipm_iters: int = 25
+    ipm_tol: float = 1e-9
+
+    # Gait schedule defaults (reference CreateDefaultSwitchingTimes:
+    # 0.3 s phases, trot parity trajectory.cpp:24-28)
+    phase_duration: float = 0.3
+
+    # Outer (gait) optimizer
+    min_dwell: float = 0.2          # gait_optimizer.cpp:412
+    trust_region: float = 1.0       # gait_optimizer.cpp:43
+    ls_alphas: int = 10             # LS_SIZE, gait_optimizer.h:164
+
+    @property
+    def horizon(self) -> float:
+        return self.num_nodes * self.dt
+
+    @property
+    def num_stance_slots(self) -> int:
+        # even slots 0, 2, ... are stance; odd are swing
+        return (self.num_phase_slots + 1) // 2
+
+    @property
+    def num_footholds(self) -> int:
+        # foothold s covers stance slot 2s; the final swing slot needs one
+        # more target foothold past the last stance slot
+        return self.num_stance_slots + 1
+
+    @property
+    def num_force_vars(self) -> int:
+        # interior FullDeriv nodes only: (F-1) nodes x 3 coords x (val, dval)
+        return self.num_ee * self.num_stance_slots * (self.num_force_polys - 1) * 3 * 2
+
+    @property
+    def num_pos_vars(self) -> int:
+        return self.num_ee * self.num_footholds * 2
+
+    @property
+    def num_u(self) -> int:
+        return self.num_force_vars + self.num_pos_vars
+
+    def validate(self) -> "MPCConfig":
+        assert self.num_force_polys >= 2
+        assert self.num_phase_slots >= 2
+        assert self.num_nodes >= 1
+        assert len(self.q_diag) == 12
+        # the phase slots must cover the horizon with margin for window shifts
+        cover = (self.num_phase_slots - 2) * self.phase_duration
+        assert cover >= self.horizon, (
+            f"num_phase_slots={self.num_phase_slots} x {self.phase_duration}s "
+            f"cannot cover horizon {self.horizon}s + shift margin")
+        return self
+
+
+def load_yaml(path: str) -> MPCConfig:
+    """Build an MPCConfig from a reference-style YAML file."""
+    import yaml
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+
+    def get(key, default):
+        return raw.get(key, default)
+
+    q = raw.get("Q_srbd_diag")
+    horizon = get("num_nodes", 20) * get("integrator_dt", 0.05)
+    phase = get("phase_duration", 0.3)
+    slots = 2 * (int(np.ceil(horizon / (2 * phase))) + 2)
+    cfg = MPCConfig(
+        num_nodes=get("num_nodes", 20),
+        dt=get("integrator_dt", 0.05),
+        num_force_polys=get("num_polys", 3),
+        num_phase_slots=slots,
+        friction_coef=get("friction_coef", 0.5),
+        force_bound=get("force_bound", 150.0),
+        swing_height=get("swing_height", 0.075),
+        foot_offset=get("foot_offset", 0.015),
+        ee_box_size=tuple(get("ee_box_size", (0.15, 0.15))),
+        q_diag=tuple(q) if q is not None else MPCConfig.q_diag,
+        force_cost=get("force_cost", 0.0),
+        phase_duration=phase,
+    )
+    return cfg.validate()

@@ -1,0 +1,194 @@
+"""Spline and gait-schedule tests.
+
+Mirrors the reference spline unit tests (test/splines_tests.cpp): value
+correctness, linearity in the variables, finite-difference validation of the
+contact-time partials (the reference checks ComputePartialWrtTime /
+ComputeCoefPartialWrtTime by finite differences at tol 1e-4,
+splines_tests.cpp:239-327; here jax.grad plays that role and is checked the
+same way).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bilevel_gait_gen_tpu.mpc import gait
+from bilevel_gait_gen_tpu.ops import spline
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+CFG = MPCConfig().validate()
+
+
+def make_vars(rng, cfg=CFG):
+    S = cfg.num_stance_slots
+    F = cfg.num_force_polys
+    f_nodes = jnp.array(rng.standard_normal((cfg.num_ee, S, F - 1, 3, 2)))
+    footholds = jnp.array(rng.standard_normal((cfg.num_ee, cfg.num_footholds, 2)) * 0.1)
+    return f_nodes, footholds
+
+
+def test_trot_schedule_contacts():
+    sched = gait.make_trot(CFG)
+    # At t=0.05: FR(1), RL(2) in stance; FL(0), RR(3) in swing
+    flags = gait.contact_flags(sched, jnp.array(0.05))
+    np.testing.assert_array_equal(np.asarray(flags), [False, True, True, False])
+    # Half a phase later the pattern flips
+    flags2 = gait.contact_flags(sched, jnp.array(0.35))
+    np.testing.assert_array_equal(np.asarray(flags2), [True, False, False, True])
+
+
+def test_force_zero_in_swing_and_at_boundaries():
+    rng = np.random.default_rng(0)
+    f_nodes, _ = make_vars(rng)
+    sched = gait.make_trot(CFG)
+    b = sched.bounds[1]  # FR: stance [0, 0.3]
+    # swing time
+    f = spline.force_value(b, f_nodes[1], jnp.array(0.45), CFG.num_force_polys)
+    np.testing.assert_allclose(f, 0.0, atol=1e-12)
+    # stance boundaries: force exactly zero (touchdown / liftoff)
+    for t in [0.0, 0.3]:
+        f = spline.force_value(b, f_nodes[1], jnp.array(float(t)),
+                               CFG.num_force_polys)
+        np.testing.assert_allclose(f, 0.0, atol=1e-9)
+
+
+def test_force_interpolates_node_values():
+    """At an interior sub-grid node the spline equals the node value."""
+    rng = np.random.default_rng(1)
+    f_nodes, _ = make_vars(rng)
+    sched = gait.make_trot(CFG)
+    b = sched.bounds[1]
+    F = CFG.num_force_polys
+    dur = 0.3
+    for j in range(1, F):
+        t = jnp.array(j * dur / F)
+        got = spline.force_value(b, f_nodes[1], t, F)
+        want = f_nodes[1][0, j - 1, :, 0]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_force_linear_in_vars():
+    rng = np.random.default_rng(2)
+    f_nodes, _ = make_vars(rng)
+    sched = gait.make_trot(CFG)
+    b = sched.bounds[1]
+    t = jnp.array(0.13)
+
+    def val(fn):
+        return spline.force_value(b, fn, t, CFG.num_force_polys)
+
+    J = jax.jacobian(val)(f_nodes[1])
+    lin = jnp.einsum('i...,...->i', J, f_nodes[1])
+    np.testing.assert_allclose(lin, val(f_nodes[1]), atol=1e-8)
+
+
+def test_position_stance_constant_swing_interpolates():
+    rng = np.random.default_rng(3)
+    _, footholds = make_vars(rng)
+    sched = gait.make_trot(CFG)
+    b = sched.bounds[1]  # stance [0, 0.3], swing [0.3, 0.6]
+    fh = footholds[1]
+    p1 = spline.foot_position(b, fh, jnp.array(0.05), CFG.swing_height,
+                              CFG.foot_offset)
+    p2 = spline.foot_position(b, fh, jnp.array(0.25), CFG.swing_height,
+                              CFG.foot_offset)
+    np.testing.assert_allclose(p1, p2, atol=1e-9)
+    np.testing.assert_allclose(p1[:2], fh[0], atol=1e-9)
+    np.testing.assert_allclose(p1[2], CFG.foot_offset, atol=1e-9)
+    # swing endpoints hit the footholds; apex at mid-swing
+    p_mid = spline.foot_position(b, fh, jnp.array(0.45), CFG.swing_height,
+                                 CFG.foot_offset)
+    np.testing.assert_allclose(p_mid[:2], 0.5 * (fh[0] + fh[1]), atol=1e-9)
+    np.testing.assert_allclose(p_mid[2], CFG.swing_height, atol=1e-9)
+    p_end = spline.foot_position(b, fh, jnp.array(0.599), CFG.swing_height,
+                                 CFG.foot_offset)
+    np.testing.assert_allclose(p_end[:2], fh[1], atol=1e-4)
+
+
+@pytest.mark.parametrize("t", [0.07, 0.13, 0.22, 0.44, 0.52, 0.75])
+def test_force_partial_wrt_bounds_matches_fd(t):
+    """jax.grad w.r.t. the contact times vs central finite differences.
+
+    This is the contract the reference checks for ComputePartialWrtTime
+    (splines_tests.cpp:239-327, tol 1e-4).
+    """
+    rng = np.random.default_rng(4)
+    f_nodes, _ = make_vars(rng)
+    sched = gait.make_trot(CFG)
+    b = np.asarray(sched.bounds[1], dtype=np.float64)
+    tt = jnp.array(t, dtype=jnp.float64)
+    fn = f_nodes[1].astype(jnp.float64)
+
+    def val(bb):
+        return spline.force_value(bb, fn, tt, CFG.num_force_polys)
+
+    J = np.asarray(jax.jacobian(val)(jnp.array(b)))
+    eps = 1e-6
+    for k in range(len(b)):
+        bp, bm = b.copy(), b.copy()
+        bp[k] += eps
+        bm[k] -= eps
+        fd = (np.asarray(val(jnp.array(bp))) - np.asarray(val(jnp.array(bm)))) / (2 * eps)
+        np.testing.assert_allclose(J[:, k], fd, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("t", [0.07, 0.35, 0.45, 0.52])
+def test_position_partial_wrt_bounds_matches_fd(t):
+    rng = np.random.default_rng(5)
+    _, footholds = make_vars(rng)
+    sched = gait.make_trot(CFG)
+    b = np.asarray(sched.bounds[1], dtype=np.float64)
+    tt = jnp.array(t, dtype=jnp.float64)
+    fh = footholds[1].astype(jnp.float64)
+
+    def val(bb):
+        return spline.foot_position(bb, fh, tt, CFG.swing_height,
+                                    CFG.foot_offset)
+
+    J = np.asarray(jax.jacobian(val)(jnp.array(b)))
+    eps = 1e-6
+    for k in range(len(b)):
+        bp, bm = b.copy(), b.copy()
+        bp[k] += eps
+        bm[k] -= eps
+        fd = (np.asarray(val(jnp.array(bp))) - np.asarray(val(jnp.array(bm)))) / (2 * eps)
+        np.testing.assert_allclose(J[:, k], fd, atol=1e-4, rtol=1e-4)
+
+
+def test_advance_window_rolls_cycles():
+    cfg = CFG
+    sched = gait.make_trot(cfg)
+    b0 = np.asarray(sched.bounds)
+    t0 = jnp.array(0.65)  # first cycle of every EE fully past for FR/RL
+    shifted = gait.advance_window(sched, t0, cfg)
+    b1 = np.asarray(shifted.bounds)
+    # per-EE: first boundary pair dropped where the cycle ended before t0
+    for ee in range(cfg.num_ee):
+        n_past = int(np.sum(b0[ee, 2::2] <= 0.65))
+        np.testing.assert_allclose(b1[ee, :len(b0[ee]) - 2 * n_past],
+                                   b0[ee, 2 * n_past:], atol=1e-6)
+        # appended boundaries continue at the nominal cadence
+        assert np.all(np.diff(b1[ee]) > -1e-9)
+
+
+def test_roll_spline_vars_shapes():
+    cfg = CFG
+    rng = np.random.default_rng(6)
+    f_nodes, footholds = make_vars(rng)
+    n_past = jnp.array([1, 0, 2, 0], dtype=jnp.int32)
+    f2, p2 = gait.roll_spline_vars(f_nodes, footholds, n_past)
+    assert f2.shape == f_nodes.shape and p2.shape == footholds.shape
+    # ee 0 shifted by one stance slot
+    np.testing.assert_allclose(f2[0, 0], f_nodes[0, 1], atol=1e-9)
+    # ee 1 unchanged
+    np.testing.assert_allclose(f2[1], f_nodes[1], atol=1e-9)
+
+
+def test_next_touchdown_and_swing_time():
+    sched = gait.make_trot(CFG)
+    b_fl = sched.bounds[0]  # FL starts in swing: [-0.3, 0, ...] wait
+    # FL starts in swing at t=0+: its stance slot 0 is [-0.3, 0]
+    td = gait.next_touchdown_time(b_fl, jnp.array(0.05))
+    np.testing.assert_allclose(td, 0.3, atol=1e-6)
+    st = gait.current_swing_time(b_fl, jnp.array(0.05))
+    np.testing.assert_allclose(st, 0.3, atol=1e-6)
