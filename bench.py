@@ -1,0 +1,90 @@
+"""Headline benchmark: batched bilevel-MPC real-time iterations per second.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline north star (BASELINE.md): >= 1000 batched A1 bilevel MPC solves/s
+on a v5p-16 at N=20, per-solve latency under the 50 ms real-time budget.
+vs_baseline = solves/s/chip / 1000.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent compilation cache — first bench run pays the compile, later
+# rounds reuse it
+cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+from bilevel_gait_gen_tpu.models import a1, rbd, srb
+from bilevel_gait_gen_tpu.mpc import gait, solver
+from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
+from bilevel_gait_gen_tpu.parallel import mesh as mesh_mod
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+def main():
+    BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+    cfg = MPCConfig(ipm_iters=18).validate()   # N=20, dt=0.05 (walk config)
+    dtype = jnp.float32
+
+    model = a1.make_a1()
+    q0 = jnp.asarray(a1.stand_config(), dtype)
+    params = srb.make_srb_params(model, q0)
+    x0 = jnp.zeros(13, dtype).at[2].set(0.3).at[9].set(1.0)
+    feet0 = rbd.ee_positions(model, q0).astype(dtype)
+    traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
+    state = solver.SolverState(traj=traj,
+                               ee_box=jnp.asarray(cfg.ee_box_size, dtype))
+    x_des = srb.manifold_to_tangent(x0)
+
+    # scenario batch: perturbed initial states (disturbance-rejection config)
+    key = jax.random.PRNGKey(0)
+    pert = 0.02 * jax.random.normal(key, (BATCH, 13), dtype)
+    x0s = x0[None, :] + pert.at[:, 6:10].set(0.0)
+    states = jax.tree.map(lambda a: jnp.stack([a] * BATCH), state)
+    feets = jnp.stack([feet0] * BATCH)
+
+    step = mesh_mod.batched_solve_step(cfg, params)
+    t0 = jnp.asarray(0.0, dtype)
+
+    # warm up / compile
+    states2, stats = step(states, x0s, t0, feets, x_des)
+    jax.block_until_ready(stats.cost)
+
+    # measure steady-state throughput (warm-started RTI, like production)
+    n_rep = 10
+    t_start = time.perf_counter()
+    for _ in range(n_rep):
+        states2, stats = step(states2, x0s, t0, feets, x_des)
+    jax.block_until_ready(stats.cost)
+    elapsed = time.perf_counter() - t_start
+    solves_per_s = BATCH * n_rep / elapsed
+    latency_ms = elapsed / n_rep * 1e3
+
+    ok = bool(np.all(np.asarray(stats.solved)))
+    result = {
+        "metric": "bilevel_mpc_solves_per_s_per_chip_N20",
+        "value": round(float(solves_per_s), 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(float(solves_per_s) / 1000.0, 3),
+        "batch": BATCH,
+        "batch_latency_ms": round(latency_ms, 2),
+        "rt_budget_ms": 50.0,
+        "all_solved": ok,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""MPC controller: the mid-level brain wiring MPC <-> whole-body control.
+
+Replaces controller::MPCController (controllers/mpc_controller.cpp).  The
+reference splits this across two host threads (1 kHz control vs free-running
+MPC) synchronized by five mutexes; the TPU-native design makes both pure
+functions so the closed loop can run entirely on device as a scan (sim) or
+as a host asyncio pair with device double-buffering (hardware):
+
+* `reconstruct_srb_state`: (q, v) -> SRB manifold state (ReconstructState,
+  mpc_controller.cpp:229-271): momentum from mass * base velocity, angular
+  momentum from the composite inertia.
+* `targets_from_traj`: interpolate the MPC trajectory at time t, run IK for
+  the desired configuration/velocity and pull spline force targets
+  (GetTargetsFromTraj, :414-511).
+* `control_action`: the 1 kHz step = targets + whole-body QP torques.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from bilevel_gait_gen_tpu.control import ik as ik_mod
+from bilevel_gait_gen_tpu.control import wbqp
+from bilevel_gait_gen_tpu.models import rbd, srb
+from bilevel_gait_gen_tpu.models.rbd import RobotModel
+from bilevel_gait_gen_tpu.mpc import gait as gait_mod
+from bilevel_gait_gen_tpu.mpc.trajectory import Trajectory
+from bilevel_gait_gen_tpu.ops import quat as quat_ops
+from bilevel_gait_gen_tpu.ops import spline
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+def reconstruct_srb_state(model: RobotModel, params: srb.SRBParams,
+                          q: jax.Array, v: jax.Array) -> jax.Array:
+    """SRB manifold state [p, h, quat, w] from the full robot (q, v)."""
+    p = q[0:3]
+    quat = quat_ops.normalize(q[3:7])
+    h = params.mass * v[0:3]
+    # angular momentum about the COM in world axes: w = R (Ir omega_body)
+    R = quat_ops.to_matrix(quat)
+    w = R @ (params.inertia @ v[3:6])
+    return jnp.concatenate([p, h, quat, w])
+
+
+def interpolate_state(traj: Trajectory, t: jax.Array, t0: jax.Array,
+                      dt: float) -> jax.Array:
+    """Linear interpolation of the manifold states between nodes (the
+    reference indexes the nearest node, GetTargetConfig mpc.cpp:707-710;
+    interpolation is strictly better at 1 kHz)."""
+    N = traj.x_man.shape[0] - 1
+    s = jnp.clip((t - t0) / dt, 0.0, N - 1e-6)
+    k = jnp.floor(s).astype(jnp.int32)
+    a = s - k
+    x0 = traj.x_man[k]
+    x1 = traj.x_man[jnp.minimum(k + 1, N)]
+    x = (1 - a) * x0 + a * x1
+    # keep the quaternion valid
+    return x.at[6:10].set(quat_ops.normalize(x[6:10]))
+
+
+def targets_from_traj(model: RobotModel, cfg: MPCConfig, traj: Trajectory,
+                      t: jax.Array, t0: jax.Array,
+                      q_guess: jax.Array):
+    """(q_des, v_des, f_des, contact) at time t from the MPC solution."""
+    x = interpolate_state(traj, t, t0, cfg.dt)
+    feet = spline.foot_positions_all(traj.sched.bounds, traj.footholds, t,
+                                     cfg.swing_height, cfg.foot_offset)
+    q_des = ik_mod.solve_ik(model, x[0:3], x[6:10], feet, q_guess)
+
+    # foot velocities from the spline (finite difference of the pure eval)
+    eps = jnp.asarray(1e-4, x.dtype)
+    feet2 = spline.foot_positions_all(traj.sched.bounds, traj.footholds,
+                                      t + eps, cfg.swing_height,
+                                      cfg.foot_offset)
+    feet_vel = (feet2 - feet) / eps
+    # base twist from the SRB state
+    params_mass = None  # base vel from momentum requires mass; see below
+    contact = gait_mod.contact_flags(traj.sched, t)
+    f_des = spline.forces_all(traj.sched.bounds, traj.f_nodes, t,
+                              cfg.num_force_polys)
+    f_des = f_des * contact[:, None]
+    return x, q_des, feet_vel, f_des, contact
+
+
+def control_action(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
+                   wb_cfg: wbqp.WBQPConfig, traj: Trajectory, q: jax.Array,
+                   v: jax.Array, t: jax.Array, t0: jax.Array) -> jax.Array:
+    """One low-level control tick -> joint torques [nj]
+    (MPCController::ComputeControlAction, mpc_controller.cpp:120-227)."""
+    x, q_des, feet_vel, f_des, contact = targets_from_traj(
+        model, cfg, traj, t, t0, q)
+    base_vel = x[3:6] / params.mass
+    R = quat_ops.to_matrix(x[6:10])
+    omega_body = jnp.linalg.solve(params.inertia, R.T @ x[10:13])
+    v_des = ik_mod.ik_velocities(model, q_des, base_vel, omega_body, feet_vel)
+    return wbqp.compute_torques(model, wb_cfg, q, v, contact, q_des, v_des,
+                                f_des)

@@ -1,0 +1,178 @@
+"""Bilevel gait optimization: gradient through the QP + projected step +
+massively-batched line search (L5/L6).
+
+Replaces the reference's entire outer-loop machinery:
+
+* `outer_gradient` = one `jax.grad` of (QP objective o QP solve o QP
+  assembly)(theta), via the IFT custom-VJP on the interior-point solver.
+  This collapses the reference's ~2k-LoC hand-derived chain
+  ComputeDerivativeTerms -> Computedx -> SetupDerivativeCalcs (sparse KKT
+  LU) -> CalcDerivativeWrtMats/Vecs -> ComputeParamPartialsClarabel ->
+  ModifyQPPartials -> ComputeCostFcnDerivWrtContactTimes
+  (mpc/mpc.cpp:1047-1069, mpc/qp/clarabel_interface.cpp:182-612,
+  mpc/mpc_single_rigid_body.cpp:642-792, mpc/gait_optimizer.cpp:92-179).
+
+* `contact_time_step` = the projection QP on the contact times
+  (GaitOptimizer::OptimizeContactTimes, gait_optimizer.cpp:185-360): linear
+  cost = gradient, min-dwell ordering polytope (0.2 s,
+  CreatePolytopeConstraint :410-464), past/first boundaries pinned
+  (:491-499), infinity-norm trust region (:501-509).  Solved with the same
+  dense IPM (tiny problem).
+
+* `line_search` = the alpha-grid search over full MPC solves
+  (GaitOptimizer::LineSearch, :671-753).  The reference forks 10 OpenMP
+  threads, each deep-copying the whole MPC object; here it is one `vmap`
+  over the alpha axis of the jitted solve step — and scales to hundreds of
+  lanes x thousands of scenarios under `pjit`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bilevel_gait_gen_tpu.mpc import qp as qp_mod
+from bilevel_gait_gen_tpu.mpc import solver as solver_mod
+from bilevel_gait_gen_tpu.mpc.gait import GaitSchedule
+from bilevel_gait_gen_tpu.mpc.trajectory import Trajectory
+from bilevel_gait_gen_tpu.models.srb import SRBParams
+from bilevel_gait_gen_tpu.ops import pdip
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+def outer_gradient(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
+                   x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
+                   x_des_tan: jax.Array, ee_box: jax.Array) -> jax.Array:
+    """dH/dtheta: gradient of the optimal inner-QP objective w.r.t. the
+    contact times (theta = sched.bounds, [E, P+1])."""
+    opts = (("iters", cfg.ipm_iters), ("tol", cfg.ipm_tol))
+
+    def outer_cost(bounds):
+        traj_b = Trajectory(x_man=traj.x_man, f_nodes=traj.f_nodes,
+                            footholds=traj.footholds,
+                            sched=GaitSchedule(bounds=bounds))
+        qp = qp_mod.assemble(cfg, params, traj_b, x0_man, t0, ee_pos0,
+                             x_des_tan, ee_box)
+        u = pdip.solve_primal(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h, opts)
+        # QP objective (the reference's cost H(theta): GetCost of the inner
+        # solve, gait_optimizer.cpp:92-179 builds dH/dtheta of exactly this)
+        return 0.5 * u @ qp.H @ u + qp.q @ u + qp.cost_const
+
+    return jax.grad(outer_cost)(traj.sched.bounds)
+
+
+def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
+                      t0: jax.Array,
+                      trust: jax.Array | float | None = None) -> jax.Array:
+    """Projected descent step on the contact times.
+
+    Solves  min  g^T d + (rho/2)|d|^2   s.t. ordering/dwell polytope, pinned
+    past boundaries, |d|_inf <= trust — the reference's OSQP projection QP
+    with Bk = 0 (damped-BFGS path disabled there, gait_optimizer.cpp:276).
+    Returns the step d with the same shape as sched.bounds.
+    """
+    b = sched.bounds                    # [E, P+1]
+    E, P1 = b.shape
+    n = E * P1
+    dtype = b.dtype
+    g = grad.reshape(-1)
+    trust = jnp.asarray(cfg.trust_region if trust is None else trust, dtype)
+
+    # pin boundaries at/before t0 (the reference pins the first node and the
+    # frozen next touchdown, :491-534; past boundaries must not move)
+    pinned = (b <= t0).reshape(-1)
+
+    rho = jnp.asarray(1.0, dtype)       # small damping makes the LP a QP
+    H = rho * jnp.eye(n, dtype=dtype)
+    q = jnp.where(pinned, 0.0, g)
+
+    # equalities: d_i = 0 for pinned boundaries
+    A = jnp.diag(jnp.where(pinned, 1.0, 0.0).astype(dtype))
+    beq = jnp.zeros(n, dtype)
+
+    # dwell polytope per EE: d_i - d_{i+1} <= (b_{i+1} - b_i) - min_dwell
+    D = jnp.zeros((E * P1, n), dtype)
+    rows = []
+    rhs = []
+    for ee in range(E):
+        for i in range(P1 - 1):
+            r = jnp.zeros(n, dtype).at[ee * P1 + i].set(1.0).at[
+                ee * P1 + i + 1].set(-1.0)
+            rows.append(r)
+            gap = b[ee, i + 1] - b[ee, i]
+            # pinned pairs keep ordering only; free pairs need min dwell
+            dwell = jnp.where(pinned[ee * P1 + i + 1], 0.0, cfg.min_dwell)
+            rhs.append(gap - jnp.minimum(dwell, gap))  # never infeasible
+    G_ord = jnp.stack(rows)
+    h_ord = jnp.stack(rhs)
+
+    # trust region |d| <= trust
+    G_tr = jnp.concatenate([jnp.eye(n, dtype=dtype), -jnp.eye(n, dtype=dtype)])
+    h_tr = jnp.full(2 * n, trust, dtype)
+
+    G = jnp.concatenate([G_ord, G_tr])
+    h = jnp.concatenate([h_ord, h_tr])
+
+    sol = pdip.solve(H, q, A, beq, G, h, iters=30, tol=1e-10)
+    return sol.x.reshape(E, P1)
+
+
+class GaitOptResult(NamedTuple):
+    state: solver_mod.SolverState
+    alpha: jax.Array
+    cost: jax.Array
+    grad_norm: jax.Array
+
+
+def line_search(cfg: MPCConfig, params: SRBParams,
+                state: solver_mod.SolverState, step: jax.Array,
+                x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
+                x_des_tan: jax.Array) -> GaitOptResult:
+    """Batched alpha-grid line search over full MPC solves.
+
+    alpha grid i/LS for i in 0..LS-1 (reference :694: GetContactTimes(i/LS));
+    winner = min cost per decision var among solved candidates (:723-737),
+    installed as the new warm start (:741).
+    """
+    LS = cfg.ls_alphas
+    alphas = jnp.arange(LS, dtype=x0_man.dtype) / LS
+
+    def try_alpha(alpha):
+        bounds_a = state.traj.sched.bounds + alpha * step
+        traj_a = Trajectory(x_man=state.traj.x_man, f_nodes=state.traj.f_nodes,
+                            footholds=state.traj.footholds,
+                            sched=GaitSchedule(bounds=bounds_a))
+        st_a = solver_mod.SolverState(traj=traj_a, ee_box=state.ee_box)
+        st_a, stats = solver_mod.solve_step(cfg, params, st_a, x0_man, t0,
+                                            ee_pos0, x_des_tan,
+                                            shift_window=False)
+        cost = jnp.where(stats.solved, stats.cost, jnp.inf)
+        return st_a, cost
+
+    states_a, costs = jax.vmap(try_alpha)(alphas)
+    best = jnp.argmin(costs)
+    new_state = jax.tree.map(lambda a: a[best], states_a)
+    # if nothing solved, keep the original state (reference :732-737)
+    any_ok = jnp.isfinite(costs[best])
+    new_state = jax.tree.map(
+        lambda a, b_: jnp.where(any_ok, a, b_), new_state,
+        solver_mod.SolverState(traj=state.traj, ee_box=state.ee_box))
+    return GaitOptResult(state=new_state, alpha=alphas[best] * any_ok,
+                         cost=jnp.where(any_ok, costs[best], jnp.inf),
+                         grad_norm=jnp.linalg.norm(step))
+
+
+def gait_opt_update(cfg: MPCConfig, params: SRBParams,
+                    state: solver_mod.SolverState, x0_man: jax.Array,
+                    t0: jax.Array, ee_pos0: jax.Array,
+                    x_des_tan: jax.Array) -> GaitOptResult:
+    """One full bilevel update: gradient -> projection QP -> line search.
+
+    Reference cadence: MPCController::GaitOpt phases (b)+(c)
+    (controllers/mpc_controller.cpp:518-573).
+    """
+    g = outer_gradient(cfg, params, state.traj, x0_man, t0, ee_pos0,
+                       x_des_tan, state.ee_box)
+    d = contact_time_step(cfg, state.traj.sched, g, t0)
+    return line_search(cfg, params, state, d, x0_man, t0, ee_pos0, x_des_tan)

@@ -1,0 +1,280 @@
+"""QP assembly: costs + constraints + state condensation (the L2 layer).
+
+Replaces the reference's triplet-based sparse assembly (mpc/qp/qp_data.cpp,
+MPC::Add*Constraints in mpc/mpc.cpp:166-414 and
+mpc/mpc_single_rigid_body.cpp:218-475) with a *condensed dense* build:
+
+* the dynamics equalities x_{k+1} = Ad_k x_k + Bd_k u + Cd_k are eliminated
+  by a `lax.scan` (x_k = S_k u + c_k), so the decision vector is only the
+  spline inputs u — every remaining matrix is dense and small, and the whole
+  build is batched matmuls (MXU) instead of pointer-chasing triplets;
+* constraint matrices come from `jax.jacrev` of pure *constraint value
+  functions* (linear in u by construction), so the same functions serve
+  assembly, merit evaluation, and — composed with theta — the bilevel
+  derivative path, replacing ~1.5k LoC of hand-written coefficient code;
+* variable-count churn (reference UpdateQPSizes) becomes fixed shapes with
+  masked rows.
+
+Constraint catalog mirrors qp_data.h:17-27 {Dynamics (condensed out),
+FrictionCone, ForceBox, EndEffectorLocation, TDPosition, EndEffectorStart};
+JointForwardKinematics/JointBox belong to the legacy centroidal MPC.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bilevel_gait_gen_tpu.mpc import gait as gait_mod
+from bilevel_gait_gen_tpu.mpc.trajectory import Trajectory, make_unravel, ravel_u
+from bilevel_gait_gen_tpu.models import srb
+from bilevel_gait_gen_tpu.models.srb import SRBParams
+from bilevel_gait_gen_tpu.ops import spline
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+class CondensedQP(NamedTuple):
+    H: jax.Array        # [n_u, n_u]
+    q: jax.Array        # [n_u]
+    A: jax.Array        # [p, n_u] equalities (masked rows are zero)
+    b: jax.Array        # [p]
+    G: jax.Array        # [m, n_u] inequalities
+    h: jax.Array        # [m]
+    S: jax.Array        # [N+1, 12, n_u] state condensing maps
+    c: jax.Array        # [N+1, 12] state offsets
+    cost_const: jax.Array  # constant cost term (for reporting parity)
+
+
+def friction_pyramid(mu: float, dtype) -> jax.Array:
+    """4x3 pyramid rows F f <= 0 (reference SetFrictionPyramid,
+    mpc/mpc.cpp:153-163): +-fx - mu fz <= 0, +-fy - mu fz <= 0."""
+    return jnp.array([
+        [1.0, 0.0, -mu],
+        [-1.0, 0.0, -mu],
+        [0.0, 1.0, -mu],
+        [0.0, -1.0, -mu],
+    ], dtype=dtype)
+
+
+def _sample_times(bounds_ee: jax.Array, cfg: MPCConfig) -> jax.Array:
+    """[S, FB] force-constraint sample times: i/FB through each stance
+    (reference AddFrictionConeConstraints, mpc/mpc.cpp:174-181)."""
+    S, FB = cfg.num_stance_slots, cfg.samples_per_stance
+    td = bounds_ee[0:2 * S:2]                  # [S] touchdowns
+    lo = bounds_ee[1:2 * S + 1:2]              # [S] liftoffs
+    frac = jnp.arange(FB, dtype=bounds_ee.dtype) / FB
+    return td[:, None] + frac[None, :] * (lo - td)[:, None]
+
+
+def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
+             x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
+             x_des_tan: jax.Array, ee_box_size: jax.Array) -> CondensedQP:
+    """Build the condensed QP around the previous trajectory.
+
+    traj: linearization point (previous solution); x0_man: measured state;
+    ee_pos0: [E, 3] measured foot positions (EEStart constraint); x_des_tan:
+    tracking target in tangent coords; ee_box_size: [2] (runtime-adjustable
+    for the IncreaseEEBox/DecreaseEEBox relaxation ladder).
+    """
+    N = cfg.num_nodes
+    dt = cfg.dt
+    dtype = x0_man.dtype
+    E = cfg.num_ee
+    unravel = make_unravel(cfg)
+    u_prev = ravel_u(traj.f_nodes, traj.footholds)
+    n_u = u_prev.shape[0]
+    bounds = traj.sched.bounds
+
+    xs_tan = jax.vmap(srb.manifold_to_tangent)(traj.x_man)  # [N+1, 12]
+    times = t0 + dt * jnp.arange(N + 1, dtype=dtype)
+
+    # ---------------- dynamics linearization + condensing scan -------------
+    def lin_at(k):
+        x_k = xs_tan[k]
+        t_k = times[k]
+
+        def f_x(x):
+            return srb.dynamics(params, x, traj.f_nodes, traj.footholds,
+                                bounds, t_k, cfg)
+
+        def f_u(u):
+            fn, fh = unravel(u)
+            return srb.dynamics(params, x_k, fn, fh, bounds, t_k, cfg)
+
+        A = jax.jacfwd(f_x)(x_k)
+        B = jax.jacfwd(f_u)(u_prev)
+        C = f_x(x_k) - A @ x_k - B @ u_prev
+        # Euler discretization (mpc_single_rigid_body.cpp:246-248)
+        return jnp.eye(12, dtype=dtype) + dt * A, dt * B, dt * C
+
+    Ad, Bd, Cd = jax.vmap(lin_at)(jnp.arange(N))
+
+    def scan_body(carry, k):
+        S_k, c_k = carry
+        S_n = Ad[k] @ S_k + Bd[k]
+        c_n = Ad[k] @ c_k + Cd[k]
+        return (S_n, c_n), (S_n, c_n)
+
+    S0 = jnp.zeros((12, n_u), dtype=dtype)
+    c0 = srb.manifold_to_tangent(x0_man)
+    (_, _), (S_rest, c_rest) = jax.lax.scan(scan_body, (S0, c0), jnp.arange(N))
+    S_stack = jnp.concatenate([S0[None], S_rest], axis=0)   # [N+1, 12, n_u]
+    c_stack = jnp.concatenate([c0[None], c_rest], axis=0)   # [N+1, 12]
+
+    # ---------------- cost ------------------------------------------------
+    # per-node state weights: Q + reg for k<N, Phi(=Q)+reg at N
+    # (AddHessianApproxCost/AddFinalCost/AddDiagonalCost, mpc.cpp:542-567,
+    # 1090-1095; demos use Phi = Q, apps/mpc_demo.cpp:98-99)
+    qdiag = jnp.asarray(cfg.q_diag, dtype=dtype)
+    reg = jnp.asarray(cfg.diag_reg, dtype=dtype)
+    Qk = jnp.tile((qdiag + reg)[None, :], (N + 1, 1))       # [N+1, 12]
+    wk = jnp.tile((-qdiag * x_des_tan)[None, :], (N + 1, 1))
+
+    # H = sum_k S_k^T diag(Qk) S_k + diag(u cost);  MXU: one big matmul
+    SQ = S_stack * Qk[:, :, None]                           # [N+1, 12, n_u]
+    Sf = S_stack.reshape((N + 1) * 12, n_u)
+    H = (SQ.reshape((N + 1) * 12, n_u).T @ Sf)
+    q = jnp.einsum('kiu,ki->u', S_stack, Qk * c_stack + wk)
+
+    u_diag = jnp.concatenate([
+        jnp.full(cfg.num_force_vars, cfg.force_cost + cfg.diag_reg, dtype),
+        jnp.full(cfg.num_pos_vars, cfg.diag_reg, dtype)])
+    H = H + jnp.diag(u_diag)
+    cost_const = 0.5 * jnp.sum(Qk * c_stack * c_stack) + jnp.sum(wk * c_stack)
+
+    # ---------------- inequality constraints ------------------------------
+    pyr = friction_pyramid(cfg.friction_coef, dtype)
+    FB = cfg.samples_per_stance
+    S_slots = cfg.num_stance_slots
+
+    def force_rows(u):
+        """Friction cone (<=0) and force-box rows at the stance samples."""
+        fn, _ = unravel(u)
+
+        def per_ee(b_ee, fn_ee):
+            ts = _sample_times(b_ee, cfg)                   # [S, FB]
+            f = jax.vmap(jax.vmap(
+                lambda t: spline.force_value(b_ee, fn_ee, t,
+                                             cfg.num_force_polys)))(ts)
+            cone = jnp.einsum('ri,sfi->sfr', pyr, f)        # [S, FB, 4]
+            fz = f[..., 2]                                  # [S, FB]
+            return cone.reshape(-1), fz.reshape(-1)
+
+        cone, fz = jax.vmap(per_ee)(bounds, fn)
+        return cone.reshape(-1), fz.reshape(-1)
+
+    def eebox_rows(u):
+        """foot_xy(t_k) - com_xy(t_k) per node/EE/coord (linear in u through
+        the condensing map).  Reference AddEELocationConstraints
+        (mpc_single_rigid_body.cpp:381-443)."""
+        fn, fh = unravel(u)
+        ks = jnp.arange(cfg.ee_node_start, N + 1)
+
+        def per_node(k):
+            com_xy = S_stack[k, 0:2] @ u + c_stack[k, 0:2]
+            feet = spline.foot_positions_all(bounds, fh, times[k],
+                                             cfg.swing_height,
+                                             cfg.foot_offset)      # [E, 3]
+            return (feet[:, :2] - com_xy[None, :]).reshape(-1)     # [E*2]
+
+        return jax.vmap(per_node)(ks).reshape(-1)
+
+    def ineq_vals(u):
+        cone, fz = force_rows(u)
+        box = eebox_rows(u)
+        return jnp.concatenate([cone, fz, box])
+
+    v0 = ineq_vals(jnp.zeros_like(u_prev))
+    G_half = jax.jacrev(ineq_vals)(u_prev)
+
+    n_cone = E * S_slots * FB * 4
+    n_fz = E * S_slots * FB
+    n_box = (N + 1 - cfg.ee_node_start) * E * 2
+
+    hip = params.hip_offset.astype(dtype)                   # [E, 2]
+    box_ub = (ee_box_size / 2)[None, None, :] + hip[:, None, :] * 0  # per coord
+    # upper/lower per (node, ee, coord): +-box/2 + hip offset
+    half_box = jnp.tile((ee_box_size / 2)[None, :], (E, 1)) # [E, 2]
+    ub_box = (hip + half_box)                               # [E, 2]
+    lb_box = (hip - half_box)
+    ub_box_full = jnp.tile(ub_box.reshape(-1), (N + 1 - cfg.ee_node_start,))
+    lb_box_full = jnp.tile(lb_box.reshape(-1), (N + 1 - cfg.ee_node_start,))
+
+    # one-sided rows: [cone <= 0] [fz <= bound] [-fz <= 0]
+    # [box <= ub] [-box <= -lb]
+    G = jnp.concatenate([
+        G_half[:n_cone],
+        G_half[n_cone:n_cone + n_fz],
+        -G_half[n_cone:n_cone + n_fz],
+        G_half[n_cone + n_fz:],
+        -G_half[n_cone + n_fz:],
+    ], axis=0)
+    h = jnp.concatenate([
+        -v0[:n_cone],
+        jnp.full(n_fz, cfg.force_bound, dtype) - v0[n_cone:n_cone + n_fz],
+        jnp.zeros(n_fz, dtype) + v0[n_cone:n_cone + n_fz],
+        ub_box_full - v0[n_cone + n_fz:],
+        -lb_box_full + v0[n_cone + n_fz:],
+    ])
+
+    # ---------------- equality constraints --------------------------------
+    def eq_vals(u):
+        fn, fh = unravel(u)
+        # EE start: foot xy at t0 (AddEEStartConstraints, :445-475)
+        start = jax.vmap(lambda b_ee, fh_ee: spline.foot_position(
+            b_ee, fh_ee, t0, cfg.swing_height, cfg.foot_offset)[:2])(
+            bounds, fh).reshape(-1)
+        # TD position: foot xy at the next touchdown (AddTDPositionConstraints,
+        # :849-887) — row activity handled by masking below
+        td_t = jax.vmap(lambda b_ee: gait_mod.next_touchdown_time(b_ee, t0))(
+            bounds)
+        td = jax.vmap(lambda b_ee, fh_ee, tt: spline.foot_position(
+            b_ee, fh_ee, tt, cfg.swing_height, cfg.foot_offset)[:2])(
+            bounds, fh, td_t).reshape(-1)
+        return jnp.concatenate([start, td])
+
+    ev0 = eq_vals(jnp.zeros_like(u_prev))
+    A_eq = jax.jacrev(eq_vals)(u_prev)
+
+    # TD rows active only when > td_fraction through the swing
+    # (mpc.cpp:1208: next_td - t < td_fraction * swing_time)
+    td_t = jax.vmap(lambda b_ee: gait_mod.next_touchdown_time(b_ee, t0))(bounds)
+    swing = jax.vmap(lambda b_ee: gait_mod.current_swing_time(b_ee, t0))(bounds)
+    td_active = (td_t - t0) < cfg.td_fraction * swing       # [E]
+    td_mask = jnp.repeat(td_active, 2)
+
+    # TD target: current trajectory's touchdown position (pin it)
+    td_now = jax.vmap(lambda b_ee, fh_ee, tt: spline.foot_position(
+        b_ee, fh_ee, tt, cfg.swing_height, cfg.foot_offset)[:2])(
+        bounds, traj.footholds, td_t).reshape(-1)
+
+    b_eq = jnp.concatenate([ee_pos0[:, :2].reshape(-1) - ev0[:2 * E],
+                            td_now - ev0[2 * E:]])
+    mask = jnp.concatenate([jnp.ones(2 * E, bool), td_mask])
+    A_eq = jnp.where(mask[:, None], A_eq, 0.0)
+    b_eq = jnp.where(mask, b_eq, 0.0)
+
+    return CondensedQP(H=H, q=q, A=A_eq, b=b_eq, G=G, h=h,
+                       S=S_stack, c=c_stack, cost_const=cost_const)
+
+
+def recover_states(qp: CondensedQP, u: jax.Array) -> jax.Array:
+    """[N+1, 12] tangent states implied by the QP solution."""
+    return jnp.einsum('kiu,u->ki', qp.S, u) + qp.c
+
+
+def cost_value(cfg: MPCConfig, xs_tan: jax.Array, u: jax.Array,
+               x_des_tan: jax.Array) -> jax.Array:
+    """Exact QP cost at arbitrary (states, inputs) — used by the merit
+    function (reference GetCostValue, mpc.cpp:757-760)."""
+    dtype = u.dtype
+    qdiag = jnp.asarray(cfg.q_diag, dtype=dtype) + cfg.diag_reg
+    w = -jnp.asarray(cfg.q_diag, dtype=dtype) * x_des_tan
+    state_cost = (0.5 * jnp.sum(qdiag * xs_tan * xs_tan)
+                  + jnp.sum(xs_tan @ w))
+    u_diag = jnp.concatenate([
+        jnp.full(cfg.num_force_vars, cfg.force_cost + cfg.diag_reg, dtype),
+        jnp.full(cfg.num_pos_vars, cfg.diag_reg, dtype)])
+    return state_cost + 0.5 * jnp.sum(u_diag * u * u)

@@ -1,0 +1,170 @@
+"""SQP real-time iteration: one jitted MPC solve step (the L4 layer).
+
+Replaces the reference's MPC::GetRealTimeUpdate / MPCSingleRigidBody::Solve
+(mpc/mpc.cpp:92-108, mpc/mpc_single_rigid_body.cpp:25-216): shift the
+receding window, relinearize around the previous trajectory, assemble the
+condensed QP, solve with the interior-point kernel, merit line search on an
+L1 penalty of the nonlinear dynamics defect, convex-combination update, and
+emit per-solve stats.  Everything is one pure jitted function whose carry is
+the warm start — the reference's prev_traj_/prev_qp_sol_/prev_dual_sol_
+(mpc/include/mpc.h:267-291) become the SolverState pytree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bilevel_gait_gen_tpu.mpc import gait as gait_mod
+from bilevel_gait_gen_tpu.mpc import qp as qp_mod
+from bilevel_gait_gen_tpu.mpc.trajectory import (Trajectory, make_unravel,
+                                                 ravel_u)
+from bilevel_gait_gen_tpu.models import srb
+from bilevel_gait_gen_tpu.models.srb import SRBParams
+from bilevel_gait_gen_tpu.ops import pdip
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolverState:
+    traj: Trajectory
+    ee_box: jax.Array      # [2] adaptive EE box (IncreaseEEBox ladder)
+
+
+class SolveStats(NamedTuple):
+    """Per-solve stats table — reference RecordStats/PrintStats columns
+    (mpc/mpc.cpp:804-899)."""
+    cost: jax.Array
+    merit: jax.Array
+    defect_l1: jax.Array
+    step_norm: jax.Array
+    alpha: jax.Array
+    qp_gap: jax.Array
+    qp_pri: jax.Array
+    qp_dua: jax.Array
+    solved: jax.Array
+
+
+def _defect_l1(cfg: MPCConfig, params: SRBParams, xs_tan: jax.Array,
+               f_nodes, footholds, bounds, t0) -> jax.Array:
+    """L1 norm of the nonlinear Euler-integration defects
+    (GetEqualityConstraintValues, mpc/mpc.cpp:764-776)."""
+    dt = cfg.dt
+    times = t0 + dt * jnp.arange(cfg.num_nodes, dtype=xs_tan.dtype)
+
+    def node_defect(k):
+        xdot = srb.dynamics(params, xs_tan[k], f_nodes, footholds, bounds,
+                            times[k], cfg)
+        return xs_tan[k + 1] - (xs_tan[k] + dt * xdot)
+
+    d = jax.vmap(node_defect)(jnp.arange(cfg.num_nodes))
+    return jnp.sum(jnp.abs(d))
+
+
+def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
+               x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
+               x_des_tan: jax.Array,
+               shift_window: bool = True) -> tuple[SolverState, SolveStats]:
+    """One real-time iteration.  Pure; jit/vmap over scenarios freely."""
+    traj = state.traj
+    unravel = make_unravel(cfg)
+    dtype = x0_man.dtype
+
+    # ------- receding-horizon shift (UpdateInitTime, mpc.cpp:1220-1230) ----
+    if shift_window:
+        n_past = gait_mod.past_cycles(traj.sched, t0)
+        sched = gait_mod.advance_window(traj.sched, t0, cfg)
+        f_nodes, footholds = gait_mod.roll_spline_vars(
+            traj.f_nodes, traj.footholds, n_past)
+        traj = Trajectory(x_man=traj.x_man, f_nodes=f_nodes,
+                          footholds=footholds, sched=sched)
+
+    # ------- assemble + solve ---------------------------------------------
+    qp = qp_mod.assemble(cfg, params, traj, x0_man, t0, ee_pos0,
+                         x_des_tan, state.ee_box)
+    sol = pdip.solve(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h,
+                     iters=cfg.ipm_iters, tol=cfg.ipm_tol)
+
+    u_prev = ravel_u(traj.f_nodes, traj.footholds)
+    xs_prev = jax.vmap(srb.manifold_to_tangent)(traj.x_man)
+    u_star = sol.x
+    xs_star = qp_mod.recover_states(qp, u_star)
+    p_u = u_star - u_prev
+    p_x = xs_star - xs_prev
+
+    # solve quality gate (reference reuses the previous solution on a
+    # primal-infeasible solve, mpc_single_rigid_body.cpp:115-129)
+    scale = 1.0 + jnp.max(jnp.abs(qp.q))
+    good = ((sol.gap < 1e-3 * scale) & (sol.pri_res < 1e-3 * scale)
+            & jnp.all(jnp.isfinite(u_star)))
+
+    # ------- merit line search (LineSearch/GetMeritValue, mpc.cpp:730-762) -
+    mu = jnp.asarray(cfg.merit_mu, dtype)
+
+    def merit_at(alpha):
+        u_a = u_prev + alpha * p_u
+        xs_a = xs_prev + alpha * p_x
+        fn_a, fh_a = unravel(u_a)
+        defect = _defect_l1(cfg, params, xs_a, fn_a, fh_a,
+                            traj.sched.bounds, t0)
+        cost = qp_mod.cost_value(cfg, xs_a, u_a, x_des_tan)
+        return mu * defect + cost, defect, cost
+
+    alphas = 0.5 ** jnp.arange(cfg.max_ls_iters + 1, dtype=dtype)
+    merits, defects, costs = jax.vmap(merit_at)(alphas)
+    merit0, defect0, cost0 = merit_at(jnp.zeros((), dtype))
+
+    # directional derivative of the merit (GetMeritGradient, mpc.cpp:790-796)
+    grad_cost = qp.H @ u_prev + qp.q  # d cost/du at u_prev (condensed)
+    dir_deriv = jnp.dot(grad_cost, p_u) - mu * defect0
+
+    armijo_ok = (merit0 - merits) >= -1e-5 * alphas * dir_deriv
+    # largest alpha passing Armijo; fall back to the smallest candidate
+    first_ok = jnp.argmax(armijo_ok)
+    alpha = jnp.where(jnp.any(armijo_ok), alphas[first_ok], alphas[-1])
+    alpha = jnp.where(good, alpha, jnp.zeros((), dtype))
+
+    # ------- update (ConvertQPSolToTrajectory, mpc_single_rigid_body.cpp:
+    # 275-321: tangent -> manifold with first-order quat normalize) ---------
+    u_new = u_prev + alpha * p_u
+    xs_new = xs_prev + alpha * p_x
+    fn_new, fh_new = unravel(u_new)
+    x_man_new = jax.vmap(srb.tangent_to_manifold)(xs_new)
+    traj_new = Trajectory(x_man=x_man_new, f_nodes=fn_new, footholds=fh_new,
+                          sched=traj.sched)
+
+    # ------- EE-box relaxation ladder (IncreaseEEBox/DecreaseEEBox,
+    # mpc_single_rigid_body.cpp:929-937, box +0.05 on bad, shrink on good) --
+    nominal = jnp.asarray(cfg.ee_box_size, dtype)
+    ee_box = jnp.where(good,
+                       jnp.maximum(nominal, state.ee_box - 0.05),
+                       state.ee_box + 0.05)
+
+    sel = jnp.argmin(jnp.abs(alphas - alpha))
+    stats = SolveStats(
+        cost=costs[sel], merit=merits[sel], defect_l1=defects[sel],
+        step_norm=jnp.linalg.norm(p_u) * alpha, alpha=alpha,
+        qp_gap=sol.gap, qp_pri=sol.pri_res, qp_dua=sol.dua_res,
+        solved=good)
+    return SolverState(traj=traj_new, ee_box=ee_box), stats
+
+
+def create_initial_run(cfg: MPCConfig, params: SRBParams, state: SolverState,
+                       x0_man: jax.Array, ee_pos0: jax.Array,
+                       x_des_tan: jax.Array,
+                       t0: jax.Array | float = 0.0
+                       ) -> tuple[SolverState, SolveStats]:
+    """Full SQP to convergence before going real-time
+    (MPC::CreateInitialRun, mpc/mpc.cpp:78-90: <=10 iterations)."""
+    t0 = jnp.asarray(t0, x0_man.dtype)
+
+    def body(st, _):
+        st, stats = solve_step(cfg, params, st, x0_man, t0, ee_pos0,
+                               x_des_tan, shift_window=False)
+        return st, stats
+
+    state, stats = jax.lax.scan(body, state, None, length=cfg.init_run_iters)
+    return state, jax.tree.map(lambda a: a[-1], stats)

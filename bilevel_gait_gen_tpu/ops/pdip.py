@@ -1,0 +1,348 @@
+"""Dense predictor-corrector interior-point QP solver + IFT differentiation.
+
+TPU-native replacement for the reference's Clarabel (Rust interior-point via
+FFI, mpc/qp/clarabel_interface.cpp) and its OptNet-style differentiation
+pipeline (Computedx / SetupDerivativeCalcs / CalcDerivativeWrtMats/Vecs,
+clarabel_interface.cpp:182-612).  Design:
+
+* the MPC QP is *condensed* upstream (states eliminated), so problems are
+  dense and small (a few hundred variables) — one Mehrotra iteration is a
+  handful of matmuls + one Cholesky, which XLA maps straight onto the MXU
+  and which `vmap` batches over thousands of scenarios;
+* fixed iteration count with convergence freezing (no data-dependent shapes
+  or trip counts — jit/scan/vmap friendly), replacing Clarabel's adaptive
+  termination;
+* masked equality/inequality rows (zero rows + Tikhonov-regularized Schur
+  complement) replace the reference's per-solve constraint-count mutation;
+* the backward pass is the implicit-function-theorem adjoint: one extra
+  solve with the SAME reduced matrix M = H + G^T W G from the final iterate
+  — where the reference builds a fresh sparse KKT-differential matrix and
+  runs Eigen SparseLU (~20 ms, clarabel_interface.cpp:289).
+
+Problem form (Clarabel one-sided form, qp_data.cpp:200-289):
+
+    min 1/2 x^T H x + q^T x   s.t.  A x = b,  G x <= h
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QPSolution(NamedTuple):
+    x: jax.Array        # [n] primal
+    y: jax.Array        # [p] equality duals
+    lam: jax.Array      # [m] inequality duals (>= 0)
+    s: jax.Array        # [m] slacks (>= 0)
+    iters: jax.Array    # iterations until convergence (or max)
+    gap: jax.Array      # final complementarity gap
+    pri_res: jax.Array  # final primal residual (inf-norm)
+    dua_res: jax.Array  # final dual residual (inf-norm)
+
+    @property
+    def converged(self):
+        return (self.gap < 1e-6) & (self.pri_res < 1e-6) & (self.dua_res < 1e-4)
+
+
+def _equilibrate(H, q, A, b, G, h):
+    """Ruiz-style diagonal equilibration (x = D xt; rows of A, G scaled to
+    unit norm).  The reference's solvers do this internally (OSQP `scaling:
+    100`, osqp_interface.cpp:7-38; Clarabel's equilibration) — without it the
+    condensed H's conditioning (squared dynamics products) stalls the IPM.
+
+    Returns scaled data + (d, e_a, e_g) with  x = d * xt,  y = e_a * yt,
+    lam = e_g * lamt,  s = st / e_g.
+    """
+    dg = jnp.diagonal(H)
+    d = 1.0 / jnp.sqrt(jnp.maximum(dg, 1e-8 * jnp.maximum(jnp.max(dg), 1.0)))
+    Hs = H * d[:, None] * d[None, :]
+    qs = q * d
+    Ad = A * d[None, :]
+    ra = jnp.linalg.norm(Ad, axis=-1)
+    e_a = jnp.where(ra > 1e-12, 1.0 / jnp.maximum(ra, 1e-12), 1.0)
+    As = Ad * e_a[:, None]
+    bs = b * e_a
+    Gd = G * d[None, :]
+    rg = jnp.linalg.norm(Gd, axis=-1)
+    e_g = jnp.where(rg > 1e-12, 1.0 / jnp.maximum(rg, 1e-12), 1.0)
+    Gs = Gd * e_g[:, None]
+    hs = h * e_g
+    return Hs, qs, As, bs, Gs, hs, d, e_a, e_g
+
+
+def _chol_solve(L, rhs):
+    z = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+
+def _kkt_solve(L_M, A, L_S, r1, r2):
+    """Solve [[M, A^T], [A, 0]] [dx, dy] = [r1, r2] given chol(M), chol(S).
+
+    S = A M^{-1} A^T (+ reg).  Standard block elimination.
+    """
+    Mi_r1 = _chol_solve(L_M, r1)
+    dy = _chol_solve(L_S, A @ Mi_r1 - r2)
+    dx = Mi_r1 - _chol_solve(L_M, A.T @ dy)
+    return dx, dy
+
+
+def _refine(L_M, A, L_S, M, r1, r2, dx, dy, steps: int = 1):
+    """Iterative refinement of the KKT solve (recovers f64-ish accuracy in
+    f32 — important because derivative quality through the QP depends on
+    solve accuracy; the reference runs Clarabel at 1e-15 gap for the same
+    reason, a1_configuration.yaml:189-200)."""
+    for _ in range(steps):
+        e1 = r1 - (M @ dx + A.T @ dy)
+        e2 = r2 - A @ dx
+        cx, cy = _kkt_solve(L_M, A, L_S, e1, e2)
+        dx = dx + cx
+        dy = dy + cy
+    return dx, dy
+
+
+def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
+          G: jax.Array, h: jax.Array, *, iters: int = 25,
+          tol: float = 1e-9, reg: float = 1e-8,
+          refine_steps: int = 1) -> QPSolution:
+    """Mehrotra predictor-corrector interior point, fixed ``iters`` sweeps.
+
+    Masked rows: a disabled equality row must be all-zero with b=0; a
+    disabled inequality row all-zero with h=1 (slack rests at 1, its dual
+    decays to ~0 and never binds).
+
+    All matmuls run at `highest` precision: on TPU the default matmul
+    precision is bfloat16, which destroys interior-point convergence — the
+    f32 path with bf16x6 passes keeps the MXU while preserving ~f32
+    accuracy (and iterative refinement recovers the rest).
+    """
+    with jax.default_matmul_precision("highest"):
+        Hs, qs, As, bs, Gs, hs, d, e_a, e_g = _equilibrate(H, q, A, b, G, h)
+        sol = _solve_impl(Hs, qs, As, bs, Gs, hs, iters=iters, tol=tol,
+                          reg=reg, refine_steps=refine_steps)
+        x = d * sol.x
+        y = e_a * sol.y
+        lam = e_g * sol.lam
+        s = sol.s / e_g
+        # report residuals in the ORIGINAL scaling
+        g_active = jnp.any(G != 0, axis=-1)
+        m_act = jnp.maximum(jnp.sum(g_active), 1).astype(x.dtype)
+        gap = jnp.dot(s, lam) / m_act
+        pri = jnp.max(jnp.abs(A @ x - b))
+        r_g = G @ x + s - h
+        pri = jnp.maximum(pri, jnp.max(jnp.abs(jnp.where(g_active, r_g, 0.0))))
+        dua = jnp.max(jnp.abs(H @ x + q + A.T @ y + G.T @ lam))
+        return QPSolution(x=x, y=y, lam=lam, s=s, iters=sol.iters, gap=gap,
+                          pri_res=pri, dua_res=dua)
+
+
+def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps):
+    n = q.shape[-1]
+    m = h.shape[-1]
+    p = b.shape[-1]
+    dtype = q.dtype
+
+    # detect masked inequality rows so they don't pollute the residual norms
+    g_active = jnp.any(G != 0, axis=-1)
+    a_active = jnp.any(A != 0, axis=-1)
+    m_act = jnp.maximum(jnp.sum(g_active), 1).astype(dtype)
+
+    # Mehrotra-style starting point: solve the equality-constrained QP
+    # (inequalities ignored), then shift slacks/duals strictly interior.
+    M0 = H + jnp.maximum(reg, 1e-8) * jnp.eye(n, dtype=dtype)
+    L0 = jnp.linalg.cholesky(M0)
+    S0 = A @ _chol_solve(L0, A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(p, dtype=dtype)
+    LS0 = jnp.linalg.cholesky(S0)
+    x, y = _kkt_solve(L0, A, LS0, -q, b)
+    s_raw = h - G @ x
+    s_floor = 0.1 * (1.0 + jnp.max(jnp.abs(h)))
+    s = jnp.where(g_active, jnp.maximum(s_raw, s_floor), 1.0)
+    mu0 = 1.0 + jnp.max(jnp.abs(q)) / jnp.asarray(n, dtype)
+    lam = jnp.where(g_active, mu0 / s, 1e-6).astype(dtype)
+
+    def body(carry, _):
+        x, y, lam, s, done, it, best = carry
+
+        # clamped scaling guards the Cholesky against extreme final iterates
+        W = jnp.clip(lam / s, 1e-10, 1e10)              # [m]
+        Gw = G * W[:, None]
+        M = H + G.T @ Gw + reg * jnp.eye(n, dtype=dtype)
+        L_M = jnp.linalg.cholesky(M)
+        Mi_At = _chol_solve(L_M, A.T)
+        S_mat = A @ Mi_At + jnp.maximum(reg, 1e-7) * jnp.eye(p, dtype=dtype)
+        L_S = jnp.linalg.cholesky(S_mat)
+
+        r_d = H @ x + q + A.T @ y + G.T @ lam           # dual residual
+        r_p = A @ x - b                                 # eq primal residual
+        r_g = G @ x + s - h                             # ineq primal residual
+        mu = jnp.dot(s, lam) / m_act
+
+        def solve_dir(sigma_mu, ds_extra):
+            # eliminate (ds, dlam):  ds = -r_g - G dx
+            # dlam = (sigma*mu - lam*ds_extra)/s - lam - W*ds
+            rhs_c = (sigma_mu - lam * ds_extra) / s     # [m]
+            r1 = -(r_d + G.T @ (rhs_c - lam + W * r_g))
+            r2 = -r_p
+            dx, dy = _kkt_solve(L_M, A, L_S, r1, r2)
+            dx, dy = _refine(L_M, A, L_S, M, r1, r2, dx, dy, refine_steps)
+            ds = -r_g - G @ dx
+            dlam = rhs_c - lam - W * ds
+            return dx, dy, ds, dlam
+
+        # predictor (affine)
+        dx_a, dy_a, ds_a, dl_a = solve_dir(jnp.zeros((), dtype), jnp.zeros(m, dtype))
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+            return jnp.minimum(1.0, jnp.min(ratio))
+
+        a_p = max_step(s, ds_a)
+        a_d = max_step(lam, dl_a)
+        mu_aff = jnp.dot(s + a_p * ds_a, lam + a_d * dl_a) / m_act
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        # corrector
+        dx_c, dy_c, ds_c, dl_c = solve_dir(sigma * mu, ds_a * dl_a)
+
+        frac = jnp.asarray(0.99, dtype)
+        a_p = frac * max_step(s, ds_c)
+        a_d = frac * max_step(lam, dl_c)
+
+        scale = 1.0 + jnp.max(jnp.abs(q))
+        mu_floor = jnp.asarray(100.0, dtype) * jnp.finfo(dtype).eps * scale
+        conv = ((mu < jnp.maximum(tol * scale, mu_floor))
+                & (jnp.max(jnp.abs(r_p)) < 1e3 * tol * scale)
+                & (jnp.max(jnp.abs(r_d)) < 1e3 * tol * scale))
+        # reject non-finite steps (blown-up Cholesky): freeze at the last
+        # good iterate rather than poisoning the solution
+        step_ok = (jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dy_c))
+                   & jnp.all(jnp.isfinite(ds_c)) & jnp.all(jnp.isfinite(dl_c)))
+        new_done = done | conv
+        stepmask = jnp.where(new_done | ~step_ok, 0.0, 1.0).astype(dtype)
+
+        # best-iterate tracking: late IPM iterations can wander once mu
+        # drops below the regularization floor; always return the iterate
+        # with the lowest KKT merit (gap + primal + dual residuals).
+        merit = (mu + jnp.max(jnp.abs(r_p)) / scale
+                 + jnp.max(jnp.abs(r_d)) / scale)
+        bx, by, blam, bs, bmerit = best
+        improved = (merit < bmerit) & jnp.all(jnp.isfinite(merit))
+        best = (jnp.where(improved, x, bx), jnp.where(improved, y, by),
+                jnp.where(improved, lam, blam), jnp.where(improved, s, bs),
+                jnp.where(improved, merit, bmerit))
+
+        x = x + stepmask * a_p * dx_c
+        y = y + stepmask * a_d * dy_c
+        s = jnp.maximum(s + stepmask * a_p * ds_c, 1e-30)
+        lam = jnp.maximum(lam + stepmask * a_d * dl_c, 1e-30)
+        it = it + jnp.where(new_done, 0, 1)
+        return (x, y, lam, s, new_done, it, best), None
+
+    best0 = (x, y, lam, s, jnp.asarray(jnp.inf, dtype))
+    init = (x, y, lam, s, jnp.zeros((), bool), jnp.zeros((), jnp.int32), best0)
+    (x, y, lam, s, _, it, best), _ = jax.lax.scan(body, init, None,
+                                                  length=iters)
+
+    # final iterate competes with the tracked best
+    def merit_of(x_, y_, lam_, s_):
+        mu_ = jnp.dot(s_, lam_) / m_act
+        rp_ = jnp.max(jnp.abs(A @ x_ - b))
+        rd_ = jnp.max(jnp.abs(H @ x_ + q + A.T @ y_ + G.T @ lam_))
+        sc = 1.0 + jnp.max(jnp.abs(q))
+        return mu_ + rp_ / sc + rd_ / sc
+
+    bx, by, blam, bs, bmerit = best
+    final_merit = merit_of(x, y, lam, s)
+    take_final = final_merit < bmerit
+    x = jnp.where(take_final, x, bx)
+    y = jnp.where(take_final, y, by)
+    lam = jnp.where(take_final, lam, blam)
+    s = jnp.where(take_final, s, bs)
+
+    gap = jnp.dot(s, lam) / m_act
+    pri = jnp.max(jnp.abs(A @ x - b)) if p > 0 else jnp.zeros((), dtype)
+    r_g = G @ x + s - h
+    pri = jnp.maximum(pri, jnp.max(jnp.abs(jnp.where(g_active, r_g, 0.0))))
+    dua = jnp.max(jnp.abs(H @ x + q + A.T @ y + G.T @ lam))
+    return QPSolution(x=x, y=y, lam=lam, s=s, iters=it, gap=gap,
+                      pri_res=pri, dua_res=dua)
+
+
+# ----------------------------------------------------------------------------
+# Differentiable wrapper: implicit-function-theorem custom VJP
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def solve_primal(H, q, A, b, G, h, opts: tuple = ()):
+    """QP solve returning only the primal x, differentiable w.r.t. all data.
+
+    Backward implements the OptNet/IFT adjoint — the reference's
+    SetupDerivativeCalcs + CalcDerivativeWrtMats/Vecs
+    (clarabel_interface.cpp:182-612) — but reuses the reduced KKT solve
+    instead of factorizing a fresh sparse KKT-differential matrix.
+    """
+    sol = solve(H, q, A, b, G, h, **dict(opts))
+    return sol.x
+
+
+def _solve_fwd(H, q, A, b, G, h, opts):
+    sol = solve(H, q, A, b, G, h, **dict(opts))
+    return sol.x, (H, q, A, b, G, h, sol)
+
+
+def _solve_bwd(opts, res, gx):
+    """IFT adjoint.  KKT residuals at the solution (s = h - G x > 0):
+
+        g1 = H x + q + A^T y + G^T lam = 0
+        g2 = A x - b = 0
+        g3 = D(lam) (G x - h) = 0
+
+    The adjoint solves J^T v = [gx, 0, 0] where J = d(g)/d(x, y, lam).
+    Eliminating v_lam = D(s)^{-1} G v_x reduces the first block to
+    (H + G^T W G) v_x + A^T v_y = gx with W = lam/s — the SAME reduced
+    matrix the forward IPM factorizes.  Gradients then follow from
+    dL/dtheta = -v^T d(g)/dtheta.
+    """
+    H, q, A, b, G, h, sol = res
+    with jax.default_matmul_precision("highest"):
+        return _bwd_impl(opts, H, q, A, b, G, h, sol, gx)
+
+
+def _bwd_impl(opts, H, q, A, b, G, h, sol, gx):
+    x, y, lam, s = sol.x, sol.y, sol.lam, sol.s
+    dtype = x.dtype
+    reg = dict(opts).get("reg", 1e-8)
+
+    # solve the adjoint in the equilibrated space (same conditioning fix as
+    # the forward solve): with x = D xt, M_t = D M D and W_t = W / e_g^2.
+    Hs, _, As, _, Gs, _, d, e_a, e_g = _equilibrate(H, q, A, b, G, h)
+    n = x.shape[-1]
+    W = jnp.clip(lam / s, 1e-10, 1e10)
+    Wt = W / (e_g * e_g)
+    M = Hs + Gs.T @ (Gs * Wt[:, None]) + reg * jnp.eye(n, dtype=dtype)
+    L_M = jnp.linalg.cholesky(M)
+    Mi_At = _chol_solve(L_M, As.T)
+    p = A.shape[0]
+    S_mat = As @ Mi_At + jnp.maximum(reg, 1e-7) * jnp.eye(p, dtype=dtype)
+    L_S = jnp.linalg.cholesky(S_mat)
+    zero_p = jnp.zeros(p, dtype)
+    gxs = d * gx
+    vxs, vys = _kkt_solve(L_M, As, L_S, gxs, zero_p)
+    vxs, vys = _refine(L_M, As, L_S, M, gxs, zero_p, vxs, vys, 2)
+    vx = d * vxs
+    vy = e_a * vys
+    c = W * (G @ vx)                   # = D(lam) v_lam
+
+    dH = -0.5 * (jnp.outer(vx, x) + jnp.outer(x, vx))
+    dq = -vx
+    dA = -(jnp.outer(y, vx) + jnp.outer(vy, x))
+    db = vy
+    dG = -(jnp.outer(lam, vx) + jnp.outer(c, x))
+    dh = c
+    return (dH, dq, dA, db, dG, dh)
+
+
+solve_primal.defvjp(_solve_fwd, _solve_bwd)

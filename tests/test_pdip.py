@@ -1,0 +1,150 @@
+"""Interior-point QP solver tests.
+
+Mirrors the reference's solver unit test (test/mpc_test.cpp:916+ "Clarabel
+interface" on a small QP) plus the differentiation contract (the reference
+finite-differences the whole pipeline at tol 1e-4, mpc_test.cpp:41-270).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bilevel_gait_gen_tpu.ops import pdip
+
+
+def random_qp(rng, n=20, m=15, p=5):
+    """Random strictly-convex QP with feasible interior."""
+    R = rng.standard_normal((n, n))
+    H = R @ R.T + n * np.eye(n)
+    q = rng.standard_normal(n)
+    A = rng.standard_normal((p, n))
+    x_feas = rng.standard_normal(n)
+    b = A @ x_feas
+    G = rng.standard_normal((m, n))
+    h = G @ x_feas + np.abs(rng.standard_normal(m)) + 0.1
+    return map(jnp.asarray, (H, q, A, b, G, h))
+
+
+def scipy_solution(H, q, A, b, G, h):
+    from scipy.optimize import minimize, LinearConstraint
+    H, q, A, b, G, h = map(np.asarray, (H, q, A, b, G, h))
+    cons = [LinearConstraint(A, b, b), LinearConstraint(G, -np.inf, h)]
+    r = minimize(lambda x: 0.5 * x @ H @ x + q @ x,
+                 np.zeros(len(q)), jac=lambda x: H @ x + q,
+                 constraints=cons, method="SLSQP",
+                 options={"maxiter": 500, "ftol": 1e-12})
+    return r.x
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_matches_scipy(seed):
+    rng = np.random.default_rng(seed)
+    H, q, A, b, G, h = random_qp(rng)
+    sol = pdip.solve(H, q, A, b, G, h, iters=30, tol=1e-10)
+    x_ref = scipy_solution(H, q, A, b, G, h)
+    assert float(sol.gap) < 1e-8
+    np.testing.assert_allclose(np.asarray(sol.x), x_ref, atol=1e-5)
+
+
+def test_kkt_residuals():
+    rng = np.random.default_rng(10)
+    H, q, A, b, G, h = random_qp(rng, n=40, m=60, p=8)
+    sol = pdip.solve(H, q, A, b, G, h, iters=30, tol=1e-11)
+    x, y, lam = map(np.asarray, (sol.x, sol.y, sol.lam))
+    H_, q_, A_, b_, G_, h_ = map(np.asarray, (H, q, A, b, G, h))
+    assert np.max(np.abs(H_ @ x + q_ + A_.T @ y + G_.T @ lam)) < 1e-6
+    assert np.max(np.abs(A_ @ x - b_)) < 1e-7
+    assert np.max(G_ @ x - h_) < 1e-7
+    assert np.min(lam) >= 0
+
+
+def test_masked_rows():
+    """Zero equality/inequality rows behave as absent constraints."""
+    rng = np.random.default_rng(3)
+    H, q, A, b, G, h = random_qp(rng, n=15, m=10, p=3)
+    # append masked rows
+    A2 = jnp.vstack([A, jnp.zeros((2, 15))])
+    b2 = jnp.concatenate([b, jnp.zeros(2)])
+    G2 = jnp.vstack([G, jnp.zeros((4, 15))])
+    h2 = jnp.concatenate([h, jnp.ones(4)])
+    sol = pdip.solve(H, q, A, b, G, h, iters=30)
+    sol2 = pdip.solve(H, q, A2, b2, G2, h2, iters=30)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(sol2.x),
+                               atol=1e-6)
+
+
+def test_batched_vmap():
+    rng = np.random.default_rng(4)
+    qps = [random_qp(rng) for _ in range(8)]
+    Hs, qs, As, bs, Gs, hs = [jnp.stack(z) for z in zip(*qps)]
+    xs = jax.vmap(lambda *a: pdip.solve(*a, iters=30).x)(Hs, qs, As, bs, Gs, hs)
+    for i in range(8):
+        x_ref = scipy_solution(Hs[i], qs[i], As[i], bs[i], Gs[i], hs[i])
+        np.testing.assert_allclose(np.asarray(xs[i]), x_ref, atol=1e-5)
+
+
+def test_gradient_matches_fd():
+    """IFT custom-VJP gradient vs central finite differences.
+
+    Contract test for the bilevel gradient pipeline — reference analog:
+    mpc_test.cpp:41-270 finite-differencing QP data partials at tol 1e-4.
+    """
+    rng = np.random.default_rng(5)
+    H, q, A, b, G, h = random_qp(rng, n=12, m=8, p=3)
+    w = jnp.asarray(rng.standard_normal(12))
+    opts = (("iters", 50), ("tol", 1e-12))
+
+    def loss(q_, h_, b_):
+        x = pdip.solve_primal(H, q_, A, b_, G, h_, opts)
+        return jnp.sum(w * x) + jnp.sum(x ** 2)
+
+    gq, gh, gb = jax.grad(loss, argnums=(0, 1, 2))(q, h, b)
+    eps = 1e-6
+    for name, val, grad in [("q", q, gq), ("h", h, gh), ("b", b, gb)]:
+        v = np.asarray(val, dtype=np.float64)
+        g = np.asarray(grad)
+        for k in range(len(v)):
+            vp, vm = v.copy(), v.copy()
+            vp[k] += eps
+            vm[k] -= eps
+            if name == "q":
+                fd = (loss(jnp.asarray(vp), h, b) - loss(jnp.asarray(vm), h, b))
+            elif name == "h":
+                fd = (loss(q, jnp.asarray(vp), b) - loss(q, jnp.asarray(vm), b))
+            else:
+                fd = (loss(q, h, jnp.asarray(vp)) - loss(q, h, jnp.asarray(vm)))
+            fd = float(fd) / (2 * eps)
+            assert abs(g[k] - fd) < 1e-3 * max(1.0, abs(fd)), (
+                f"{name}[{k}]: ift={g[k]:.8f} fd={fd:.8f}")
+
+
+def test_gradient_wrt_matrices_fd():
+    rng = np.random.default_rng(6)
+    H, q, A, b, G, h = random_qp(rng, n=8, m=6, p=2)
+    opts = (("iters", 50), ("tol", 1e-12))
+
+    def loss(G_):
+        x = pdip.solve_primal(H, q, A, b, G_, h, opts)
+        return jnp.sum(x ** 2)
+
+    gG = np.asarray(jax.grad(loss)(G))
+    eps = 1e-6
+    G_np = np.asarray(G, dtype=np.float64)
+    for i in range(G_np.shape[0]):
+        for j in range(0, G_np.shape[1], 3):
+            Gp, Gm = G_np.copy(), G_np.copy()
+            Gp[i, j] += eps
+            Gm[i, j] -= eps
+            fd = (float(loss(jnp.asarray(Gp))) - float(loss(jnp.asarray(Gm)))) / (2 * eps)
+            assert abs(gG[i, j] - fd) < 1e-3 * max(1.0, abs(fd)), (
+                f"G[{i},{j}]: ift={gG[i, j]:.8f} fd={fd:.8f}")
+
+
+def test_warm_problem_large_batch_shapes():
+    """Batch of 64 at MPC-like sizes solves and stays finite."""
+    rng = np.random.default_rng(7)
+    qps = [random_qp(rng, n=64, m=96, p=10) for _ in range(4)]
+    Hs, qs, As, bs, Gs, hs = [jnp.stack(z) for z in zip(*qps)]
+    sols = jax.vmap(lambda *a: pdip.solve(*a, iters=35))(Hs, qs, As, bs, Gs, hs)
+    assert np.all(np.isfinite(np.asarray(sols.x)))
+    assert np.all(np.asarray(sols.gap) < 1e-5)
