@@ -46,7 +46,7 @@ def solve_ik(model: RobotModel, base_pos: jax.Array, base_quat: jax.Array,
 
 def ik_velocities(model: RobotModel, q: jax.Array, base_vel: jax.Array,
                   base_omega: jax.Array, feet_vel: jax.Array,
-                  damping: float = 1e-4) -> jax.Array:
+                  damping: float = 1e-6) -> jax.Array:
     """Generalized velocity consistent with base twist + foot velocities.
 
     Reference: MPCController::GetTargetsFromTraj differentiates the IK

@@ -86,11 +86,20 @@ def targets_from_traj(model: RobotModel, cfg: MPCConfig, traj: Trajectory,
 
 def control_action(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
                    wb_cfg: wbqp.WBQPConfig, traj: Trajectory, q: jax.Array,
-                   v: jax.Array, t: jax.Array, t0: jax.Array) -> jax.Array:
+                   v: jax.Array, t: jax.Array, t0: jax.Array,
+                   measured_contact: jax.Array | None = None) -> jax.Array:
     """One low-level control tick -> joint torques [nj]
-    (MPCController::ComputeControlAction, mpc_controller.cpp:120-227)."""
+    (MPCController::ComputeControlAction, mpc_controller.cpp:120-227).
+
+    measured_contact: [E] bool from the simulator/robot; the stationary-
+    contact rows only apply to feet that are BOTH scheduled and actually in
+    contact (reference qp_control.cpp:207-210).
+    """
     x, q_des, feet_vel, f_des, contact = targets_from_traj(
         model, cfg, traj, t, t0, q)
+    if measured_contact is not None:
+        contact = contact & measured_contact
+    f_des = f_des * contact[:, None]
     base_vel = x[3:6] / params.mass
     R = quat_ops.to_matrix(x[6:10])
     omega_body = jnp.linalg.solve(params.inertia, R.T @ x[10:13])

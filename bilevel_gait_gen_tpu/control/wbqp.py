@@ -30,14 +30,20 @@ class WBQPConfig:
     kp_base_pos: float = 9000.0
     kd_base_ang: float = 100.0
     kp_base_ang: float = 1000.0
-    kp_joint: float = 5500.0
+    kp_joint: float = 1200.0    # reference 20-node gain set (a1 yaml:104)
     kd_joint: float = 300.0
     leg_weight: float = 10.0
     torso_weight: float = 1000.0
-    force_weight: float = 1.0
+    # the reference ships force_tracking_weight=1; closed-loop MuJoCo trot
+    # is substantially more robust at 10 (delivered GRFs then track the MPC
+    # plan through the zero-force phase transitions: 4 s+ in-place trot with
+    # ~1 cm drift vs falling at weight 1), so that is the default
+    force_weight: float = 10.0
     friction_coef: float = 0.5
     torque_bound: float = 30.0
-    contact_damp: float = 5.0   # alpha in J qdd + Jdot qd = -alpha J qd
+    # reference uses the classical constraint J qdd = -Jdot qd (alpha = 0,
+    # qp_control.cpp:198-222); a small alpha adds foot-velocity damping
+    contact_damp: float = 0.0
     ipm_iters: int = 15
 
 
@@ -46,9 +52,14 @@ def compute_torques(model: RobotModel, cfg: WBQPConfig, q: jax.Array,
                     v_des: jax.Array, f_des: jax.Array) -> jax.Array:
     """Solve the whole-body QP and recover joint torques [nj].
 
-    contact: [E] bool stance flags; f_des: [E, 3] MPC force targets
-    (zeroed for swing legs).  Reference flow: QPControl::ComputeControlAction
-    (qp_control.cpp:74-137) then RecoverControlInputs (:417+).
+    contact: [E] bool flags — pass desired AND measured contact (the
+    reference gates the stationary-contact rows on
+    `contact.in_contact_ && des_contact_.in_contact_`,
+    qp_control.cpp:207-210: constraining a foot that is not actually on the
+    ground launches the leg into the floor and bounces the robot); f_des:
+    [E, 3] MPC force targets (zeroed for swing legs).  Reference flow:
+    QPControl::ComputeControlAction (qp_control.cpp:74-137) then
+    RecoverControlInputs (:417+).
     """
     nv = model.nv
     nj = model.num_joints

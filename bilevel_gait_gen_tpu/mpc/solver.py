@@ -144,8 +144,11 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
                        state.ee_box + 0.05)
 
     sel = jnp.argmin(jnp.abs(alphas - alpha))
+    at0 = alpha == 0.0
     stats = SolveStats(
-        cost=costs[sel], merit=merits[sel], defect_l1=defects[sel],
+        cost=jnp.where(at0, cost0, costs[sel]),
+        merit=jnp.where(at0, merit0, merits[sel]),
+        defect_l1=jnp.where(at0, defect0, defects[sel]),
         step_norm=jnp.linalg.norm(p_u) * alpha, alpha=alpha,
         qp_gap=sol.gap, qp_pri=sol.pri_res, qp_dua=sol.dua_res,
         solved=good)

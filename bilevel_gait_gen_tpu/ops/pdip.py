@@ -140,6 +140,11 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
 
 
 def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps):
+    # dtype-aware floors: f32 needs ~50*eps regularization and a tighter
+    # complementarity-ratio clamp to keep the Cholesky finite
+    eps = float(jnp.finfo(q.dtype).eps)
+    reg = max(reg, 50.0 * eps)
+    w_hi = 0.01 / eps            # 1e10 in f64, ~8e4 in f32
     n = q.shape[-1]
     m = h.shape[-1]
     p = b.shape[-1]
@@ -167,7 +172,7 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps):
         x, y, lam, s, done, it, best = carry
 
         # clamped scaling guards the Cholesky against extreme final iterates
-        W = jnp.clip(lam / s, 1e-10, 1e10)              # [m]
+        W = jnp.clip(lam / s, 1.0 / w_hi, w_hi)         # [m]
         Gw = G * W[:, None]
         M = H + G.T @ Gw + reg * jnp.eye(n, dtype=dtype)
         L_M = jnp.linalg.cholesky(M)
@@ -221,7 +226,7 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps):
         step_ok = (jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dy_c))
                    & jnp.all(jnp.isfinite(ds_c)) & jnp.all(jnp.isfinite(dl_c)))
         new_done = done | conv
-        stepmask = jnp.where(new_done | ~step_ok, 0.0, 1.0).astype(dtype)
+        take = ~(new_done | ~step_ok)
 
         # best-iterate tracking: late IPM iterations can wander once mu
         # drops below the regularization floor; always return the iterate
@@ -234,10 +239,12 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps):
                 jnp.where(improved, lam, blam), jnp.where(improved, s, bs),
                 jnp.where(improved, merit, bmerit))
 
-        x = x + stepmask * a_p * dx_c
-        y = y + stepmask * a_d * dy_c
-        s = jnp.maximum(s + stepmask * a_p * ds_c, 1e-30)
-        lam = jnp.maximum(lam + stepmask * a_d * dl_c, 1e-30)
+        # jnp.where (not a 0/1 multiplier): 0 * NaN = NaN would poison the
+        # iterate whenever a step is rejected for a blown-up factorization
+        x = jnp.where(take, x + a_p * dx_c, x)
+        y = jnp.where(take, y + a_d * dy_c, y)
+        s = jnp.where(take, jnp.maximum(s + a_p * ds_c, 1e-30), s)
+        lam = jnp.where(take, jnp.maximum(lam + a_d * dl_c, 1e-30), lam)
         it = it + jnp.where(new_done, 0, 1)
         return (x, y, lam, s, new_done, it, best), None
 
@@ -320,7 +327,9 @@ def _bwd_impl(opts, H, q, A, b, G, h, sol, gx):
     # the forward solve): with x = D xt, M_t = D M D and W_t = W / e_g^2.
     Hs, _, As, _, Gs, _, d, e_a, e_g = _equilibrate(H, q, A, b, G, h)
     n = x.shape[-1]
-    W = jnp.clip(lam / s, 1e-10, 1e10)
+    eps = float(jnp.finfo(dtype).eps)
+    reg = max(reg, 50.0 * eps)
+    W = jnp.clip(lam / s, 100.0 * eps, 0.01 / eps)
     Wt = W / (e_g * e_g)
     M = Hs + Gs.T @ (Gs * Wt[:, None]) + reg * jnp.eye(n, dtype=dtype)
     L_M = jnp.linalg.cholesky(M)

@@ -1,0 +1,138 @@
+"""On-device closed-loop simulation (L8): JAX articulated dynamics with
+soft ground contact.
+
+Replaces the reference's MuJoCo closed loop (simulation/mujoco_sim/
+simulator.cpp + SimulationRobot) for the all-on-device path: the physics
+step is pure JAX (forward dynamics via the rbd mass matrix/bias + penalty
+ground contact at the feet), so the ENTIRE control stack — simulator, 1 kHz
+whole-body QP, MPC real-time iterations, bilevel gait updates — runs as one
+jitted scan and vmaps over thousands of scenarios.  A host-side MuJoCo
+bridge (sim/mujoco_bridge.py) provides the physics-parity path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bilevel_gait_gen_tpu.control import mpc_controller, wbqp
+from bilevel_gait_gen_tpu.models import rbd, srb
+from bilevel_gait_gen_tpu.models.rbd import RobotModel
+from bilevel_gait_gen_tpu.mpc import solver as solver_mod
+from bilevel_gait_gen_tpu.ops import spline
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Penalty contact model + integration parameters."""
+    contact_kp: float = 12000.0
+    contact_kd: float = 120.0
+    friction_mu: float = 0.6
+    tangent_vel_reg: float = 0.05   # m/s smoothing of the friction direction
+    foot_radius: float = 0.02      # A1 foot collision sphere
+    substeps: int = 4              # physics substeps per control tick
+    joint_damping: float = 0.1
+
+
+def contact_forces(sim: SimConfig, feet: jax.Array,
+                   feet_vel: jax.Array) -> jax.Array:
+    """[E, 3] penalty ground forces at the foot points (flat ground z=0)."""
+    pen = sim.foot_radius - feet[:, 2]                 # >0 when penetrating
+    active = pen > 0.0
+    fz = jnp.where(active,
+                   sim.contact_kp * pen
+                   - sim.contact_kd * feet_vel[:, 2] * jnp.sqrt(
+                       jnp.maximum(pen, 0.0) / sim.foot_radius),
+                   0.0)
+    fz = jnp.maximum(fz, 0.0)
+    vt = feet_vel[:, :2]
+    vnorm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + sim.tangent_vel_reg ** 2)
+    ft = -vt * (sim.friction_mu * fz / vnorm)[:, None]
+    return jnp.concatenate([ft, fz[:, None]], axis=-1)
+
+
+def physics_step(model: RobotModel, sim: SimConfig, q: jax.Array,
+                 v: jax.Array, tau: jax.Array, dt: float):
+    """One semi-implicit Euler step of the articulated dynamics."""
+    M = rbd.mass_matrix(model, q)
+    h = rbd.bias_forces(model, q, v)
+    J = rbd.ee_jacobians(model, q)
+    feet = rbd.ee_positions(model, q)
+    feet_vel = jnp.einsum('eiv,v->ei', J, v)
+    f_c = contact_forces(sim, feet, feet_vel)
+    tau_full = jnp.concatenate([jnp.zeros(6, q.dtype), tau])
+    damping = jnp.concatenate([jnp.zeros(6, q.dtype),
+                               jnp.full(model.num_joints, sim.joint_damping,
+                                        q.dtype)])
+    rhs = tau_full - h - damping * v + jnp.einsum('eiv,ei->v', J, f_c)
+    qdd = jnp.linalg.solve(M, rhs)
+    v_new = v + dt * qdd
+    q_new = rbd.integrate_config(q, dt * v_new)
+    return q_new, v_new
+
+
+class SimLog(NamedTuple):
+    q: jax.Array          # [T, nq]
+    v: jax.Array          # [T, nv]
+    srb_state: jax.Array  # [T, 13]
+    tau: jax.Array        # [T, nj]
+    cost: jax.Array       # [T]
+    solved: jax.Array     # [T]
+
+
+def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
+                wb_cfg: wbqp.WBQPConfig, sim: SimConfig,
+                state0: solver_mod.SolverState, q0: jax.Array, v0: jax.Array,
+                x_des_tan: jax.Array, *, n_ticks: int, control_dt: float,
+                mpc_every: int) -> tuple[solver_mod.SolverState, SimLog]:
+    """Full closed loop as one scan: physics + 1 kHz torque QP + MPC RTI.
+
+    Reference analog: Simulator::RunSimulator / SimpleSimulation with the
+    MPC thread folded in (apps/mpc_sim_demo.cpp flow); `mpc_every` plays the
+    free-running MPC thread's update cadence.
+    """
+    dtype = q0.dtype
+    sub_dt = control_dt / sim.substeps
+
+    def tick(carry, i):
+        q, v, st, t0 = carry
+        t = i.astype(dtype) * control_dt
+
+        def do_mpc(args):
+            q_, v_, st_, _ = args
+            x_srb = mpc_controller.reconstruct_srb_state(model, params, q_, v_)
+            feet = rbd.ee_positions(model, q_)
+            st2, stats = solver_mod.solve_step(cfg, params, st_, x_srb, t,
+                                               feet, x_des_tan)
+            return st2, t, stats.cost, stats.solved
+
+        def no_mpc(args):
+            _, _, st_, t0_ = args
+            return st_, t0_, jnp.asarray(jnp.nan, dtype), jnp.asarray(True)
+
+        st, t0, cost, solved = jax.lax.cond(i % mpc_every == 0, do_mpc,
+                                            no_mpc, (q, v, st, t0))
+
+        feet_z = rbd.ee_positions(model, q)[:, 2]
+        measured_contact = feet_z < sim.foot_radius + 0.002
+        tau = mpc_controller.control_action(model, params, cfg, wb_cfg,
+                                            st.traj, q, v, t, t0,
+                                            measured_contact)
+
+        def sub(carry2, _):
+            q_, v_ = carry2
+            q_, v_ = physics_step(model, sim, q_, v_, tau, sub_dt)
+            return (q_, v_), None
+
+        (q, v), _ = jax.lax.scan(sub, (q, v), None, length=sim.substeps)
+        x_srb = mpc_controller.reconstruct_srb_state(model, params, q, v)
+        return (q, v, st, t0), SimLog(q=q, v=v, srb_state=x_srb, tau=tau,
+                                      cost=cost, solved=solved)
+
+    (q, v, st, t0), log = jax.lax.scan(
+        tick, (q0, v0, state0, jnp.asarray(0.0, dtype)),
+        jnp.arange(n_ticks))
+    return st, log

@@ -1,0 +1,56 @@
+"""Auxiliary subsystem tests: checkpoint/resume, stats ring, config loader,
+timers.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from bilevel_gait_gen_tpu.mpc import gait, solver
+from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
+from bilevel_gait_gen_tpu.utils import checkpoint, timing
+from bilevel_gait_gen_tpu.utils.config import MPCConfig, load_yaml
+from bilevel_gait_gen_tpu.utils.stats import make_ring, record, print_table
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = MPCConfig().validate()
+    x0 = jnp.zeros(13).at[2].set(0.3).at[9].set(1.0)
+    traj = default_trajectory(cfg, gait.make_trot(cfg), x0,
+                              jnp.zeros((4, 2)))
+    st = solver.SolverState(traj=traj, ee_box=jnp.asarray(cfg.ee_box_size))
+    p = str(tmp_path / "ckpt.npz")
+    checkpoint.save(p, st, metadata={"t": 1.25})
+    st2 = checkpoint.load(p, st)
+    np.testing.assert_allclose(np.asarray(st2.traj.sched.bounds),
+                               np.asarray(st.traj.sched.bounds))
+    np.testing.assert_allclose(np.asarray(st2.ee_box), np.asarray(st.ee_box))
+    assert checkpoint.metadata(p)["t"] == 1.25
+
+
+def test_stats_ring(capsys):
+    from bilevel_gait_gen_tpu.mpc.solver import SolveStats
+    ring = make_ring(capacity=8)
+    for i in range(12):  # wraps
+        s = SolveStats(*[jnp.asarray(float(i))] * 8, jnp.asarray(True))
+        ring = record(ring, i, 1.5, s)
+    out = print_table(ring, last=4)
+    assert "defect_l1" in out
+    assert int(ring.head) == 12
+
+
+def test_config_yaml_loader(tmp_path):
+    import yaml
+    cfg_path = "bilevel_gait_gen_tpu/configs/a1_walk.yaml"
+    cfg = load_yaml(cfg_path)
+    assert cfg.num_nodes == 20
+    assert cfg.dt == 0.05
+    assert cfg.q_diag[2] == 4000
+
+
+def test_stage_timers():
+    st = timing.StageTimers()
+    with st.stage("a"):
+        pass
+    with st.stage("a"):
+        pass
+    assert st.counts["a"] == 2
+    assert "a" in st.summary()
