@@ -238,7 +238,7 @@ def kinetic_energy(model: RobotModel, q: jax.Array, v: jax.Array) -> jax.Array:
 def potential_energy(model: RobotModel, q: jax.Array) -> jax.Array:
     Rs, ps = fk_links(model, q)
     coms = ps + jnp.einsum('lij,lj->li', Rs, model.com)
-    return -jnp.sum(model.mass * (coms @ GRAVITY))
+    return -jnp.sum(model.mass * (coms @ GRAVITY.astype(q.dtype)))
 
 
 def bias_forces(model: RobotModel, q: jax.Array, v: jax.Array) -> jax.Array:

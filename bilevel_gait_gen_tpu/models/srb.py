@@ -65,17 +65,18 @@ def make_srb_params(model: RobotModel, nominal_q: jax.Array,
     offsets (single_rigid_body_model.cpp:289-303: y += 0.1*sign(y),
     x += 0.025).
     """
-    Ir = rbd.composite_inertia_about_com(model, nominal_q)
+    dtype = nominal_q.dtype
+    Ir = rbd.composite_inertia_about_com(model, nominal_q).astype(dtype)
     hips = rbd.hip_positions(model, nominal_q)       # [E, 3] world
     base = nominal_q[0:3]
     off = hips[:, :2] - base[None, :2]
     off_x = off[:, 0] + box_x_margin
     off_y = off[:, 1] + jnp.sign(off[:, 1]) * box_y_margin
     return SRBParams(
-        mass=model.total_mass,
+        mass=model.total_mass.astype(dtype),
         inertia=Ir,
-        inertia_inv=jnp.linalg.inv(Ir),
-        hip_offset=jnp.stack([off_x, off_y], axis=-1),
+        inertia_inv=jnp.linalg.inv(Ir).astype(dtype),
+        hip_offset=jnp.stack([off_x, off_y], axis=-1).astype(dtype),
     )
 
 
@@ -122,7 +123,8 @@ def dynamics(params: SRBParams, x_tan: jax.Array,
                                      cfg.swing_height, cfg.foot_offset)
 
     pdot = h / params.mass
-    hdot = params.mass * GRAVITY + jnp.sum(forces, axis=0)
+    g = GRAVITY.astype(x_tan.dtype)
+    hdot = params.mass * g + jnp.sum(forces, axis=0)
     qdot = params.inertia_inv @ w
     wdot = (-jnp.cross(w, params.inertia @ w)
             + jnp.sum(jnp.cross(feet - p[None, :], forces), axis=0))

@@ -32,6 +32,29 @@ from bilevel_gait_gen_tpu.utils.config import MPCConfig
 class SolverState:
     traj: Trajectory
     ee_box: jax.Array      # [2] adaptive EE box (IncreaseEEBox ladder)
+    # optional interior-point warm start carried across control steps
+    # (reference prev_qp_sol/prev_dual_sol_, mpc.h:267-291); None = cold
+    qp_warm: "pdip.QPSolution | None" = None
+
+
+def make_state(cfg: MPCConfig, traj: Trajectory, ee_box: jax.Array,
+               warm_start: bool = True) -> SolverState:
+    """Build a solver state; with warm_start=True the IPM warm start is
+    carried across solves (fewer iterations per real-time update)."""
+    if not warm_start:
+        return SolverState(traj=traj, ee_box=ee_box, qp_warm=None)
+    dtype = ee_box.dtype
+    n_u = cfg.num_u
+    p = 4 * cfg.num_ee
+    FB, S, E, N = (cfg.samples_per_stance, cfg.num_stance_slots, cfg.num_ee,
+                   cfg.num_nodes)
+    m = E * S * FB * 4 + 2 * E * S * FB + 2 * (N + 1 - cfg.ee_node_start) * E * 2
+    neutral = pdip.QPSolution(
+        x=jnp.zeros(n_u, dtype), y=jnp.zeros(p, dtype),
+        lam=jnp.ones(m, dtype), s=jnp.ones(m, dtype),
+        iters=jnp.zeros((), jnp.int32), gap=jnp.ones((), dtype),
+        pri_res=jnp.ones((), dtype), dua_res=jnp.ones((), dtype))
+    return SolverState(traj=traj, ee_box=ee_box, qp_warm=neutral)
 
 
 class SolveStats(NamedTuple):
@@ -86,7 +109,8 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
     qp = qp_mod.assemble(cfg, params, traj, x0_man, t0, ee_pos0,
                          x_des_tan, state.ee_box)
     sol = pdip.solve(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h,
-                     iters=cfg.ipm_iters, tol=cfg.ipm_tol)
+                     iters=cfg.ipm_iters, tol=cfg.ipm_tol,
+                     warm=state.qp_warm)
 
     u_prev = ravel_u(traj.f_nodes, traj.footholds)
     xs_prev = jax.vmap(srb.manifold_to_tangent)(traj.x_man)
@@ -129,8 +153,10 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
 
     # ------- update (ConvertQPSolToTrajectory, mpc_single_rigid_body.cpp:
     # 275-321: tangent -> manifold with first-order quat normalize) ---------
-    u_new = u_prev + alpha * p_u
-    xs_new = xs_prev + alpha * p_x
+    # explicit select, not alpha * p: a rejected solve (alpha = 0) must not
+    # propagate NaN directions via 0 * NaN
+    u_new = jnp.where(good, u_prev + alpha * p_u, u_prev)
+    xs_new = jnp.where(good, xs_prev + alpha * p_x, xs_prev)
     fn_new, fh_new = unravel(u_new)
     x_man_new = jax.vmap(srb.tangent_to_manifold)(xs_new)
     traj_new = Trajectory(x_man=x_man_new, f_nodes=fn_new, footholds=fh_new,
@@ -143,6 +169,8 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
                        jnp.maximum(nominal, state.ee_box - 0.05),
                        state.ee_box + 0.05)
 
+    new_warm = sol if state.qp_warm is not None else None
+
     sel = jnp.argmin(jnp.abs(alphas - alpha))
     at0 = alpha == 0.0
     stats = SolveStats(
@@ -152,7 +180,7 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
         step_norm=jnp.linalg.norm(p_u) * alpha, alpha=alpha,
         qp_gap=sol.gap, qp_pri=sol.pri_res, qp_dua=sol.dua_res,
         solved=good)
-    return SolverState(traj=traj_new, ee_box=ee_box), stats
+    return SolverState(traj=traj_new, ee_box=ee_box, qp_warm=new_warm), stats
 
 
 def create_initial_run(cfg: MPCConfig, params: SRBParams, state: SolverState,

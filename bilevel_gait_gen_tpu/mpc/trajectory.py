@@ -55,8 +55,13 @@ def default_trajectory(cfg: MPCConfig, sched: GaitSchedule,
     start sets states constant and leaves splines zero; a gravity-supporting
     force guess conditions the first QP much better)."""
     E, S, F = cfg.num_ee, cfg.num_stance_slots, cfg.num_force_polys
+    dtype = x0_man.dtype
     x_man = jnp.tile(x0_man[None, :], (cfg.num_nodes + 1, 1))
-    f_nodes = jnp.zeros((E, S, F - 1, 3, 2), dtype=x0_man.dtype)
-    footholds = jnp.tile(ee_xy[:, None, :], (1, cfg.num_footholds, 1))
+    f_nodes = jnp.zeros((E, S, F - 1, 3, 2), dtype=dtype)
+    footholds = jnp.tile(ee_xy.astype(dtype)[:, None, :],
+                         (1, cfg.num_footholds, 1))
+    # schedule bounds follow the state dtype (x64 test runs would otherwise
+    # leak float64 into the f32 pipeline)
+    sched = GaitSchedule(bounds=sched.bounds.astype(dtype))
     return Trajectory(x_man=x_man, f_nodes=f_nodes, footholds=footholds,
                       sched=sched)

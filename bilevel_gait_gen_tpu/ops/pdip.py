@@ -107,7 +107,8 @@ def _refine(L_M, A, L_S, M, r1, r2, dx, dy, steps: int = 1):
 def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
           G: jax.Array, h: jax.Array, *, iters: int = 25,
           tol: float = 1e-9, reg: float = 1e-8,
-          refine_steps: int = 1) -> QPSolution:
+          refine_steps: int = 1,
+          warm: QPSolution | None = None) -> QPSolution:
     """Mehrotra predictor-corrector interior point, fixed ``iters`` sweeps.
 
     Masked rows: a disabled equality row must be all-zero with b=0; a
@@ -121,8 +122,16 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
     """
     with jax.default_matmul_precision("highest"):
         Hs, qs, As, bs, Gs, hs, d, e_a, e_g = _equilibrate(H, q, A, b, G, h)
+        warm_s = None
+        if warm is not None:
+            # scale the warm start into the equilibrated space and push it
+            # strictly interior (the RTI warm start: reference carries
+            # prev_qp_sol/prev_dual_sol_ across solves, mpc.h:267-291)
+            warm_s = (warm.x / d, warm.y / e_a,
+                      jnp.maximum(warm.lam / e_g, 1e-3),
+                      jnp.maximum(warm.s * e_g, 1e-3))
         sol = _solve_impl(Hs, qs, As, bs, Gs, hs, iters=iters, tol=tol,
-                          reg=reg, refine_steps=refine_steps)
+                          reg=reg, refine_steps=refine_steps, warm=warm_s)
         x = d * sol.x
         y = e_a * sol.y
         lam = e_g * sol.lam
@@ -139,7 +148,8 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
                           pri_res=pri, dua_res=dua)
 
 
-def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps):
+def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
+                warm=None):
     # dtype-aware floors: f32 needs ~50*eps regularization and a tighter
     # complementarity-ratio clamp to keep the Cholesky finite
     eps = float(jnp.finfo(q.dtype).eps)
@@ -155,18 +165,24 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps):
     a_active = jnp.any(A != 0, axis=-1)
     m_act = jnp.maximum(jnp.sum(g_active), 1).astype(dtype)
 
-    # Mehrotra-style starting point: solve the equality-constrained QP
-    # (inequalities ignored), then shift slacks/duals strictly interior.
-    M0 = H + jnp.maximum(reg, 1e-8) * jnp.eye(n, dtype=dtype)
-    L0 = jnp.linalg.cholesky(M0)
-    S0 = A @ _chol_solve(L0, A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(p, dtype=dtype)
-    LS0 = jnp.linalg.cholesky(S0)
-    x, y = _kkt_solve(L0, A, LS0, -q, b)
-    s_raw = h - G @ x
-    s_floor = 0.1 * (1.0 + jnp.max(jnp.abs(h)))
-    s = jnp.where(g_active, jnp.maximum(s_raw, s_floor), 1.0)
-    mu0 = 1.0 + jnp.max(jnp.abs(q)) / jnp.asarray(n, dtype)
-    lam = jnp.where(g_active, mu0 / s, 1e-6).astype(dtype)
+    if warm is not None:
+        x, y, lam, s = warm
+        s = jnp.where(g_active, s, 1.0)
+        lam = jnp.where(g_active, lam, 1e-6).astype(dtype)
+    else:
+        # Mehrotra-style starting point: solve the equality-constrained QP
+        # (inequalities ignored), then shift slacks/duals strictly interior.
+        M0 = H + jnp.maximum(reg, 1e-8) * jnp.eye(n, dtype=dtype)
+        L0 = jnp.linalg.cholesky(M0)
+        S0 = A @ _chol_solve(L0, A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(
+            p, dtype=dtype)
+        LS0 = jnp.linalg.cholesky(S0)
+        x, y = _kkt_solve(L0, A, LS0, -q, b)
+        s_raw = h - G @ x
+        s_floor = 0.1 * (1.0 + jnp.max(jnp.abs(h)))
+        s = jnp.where(g_active, jnp.maximum(s_raw, s_floor), 1.0)
+        mu0 = 1.0 + jnp.max(jnp.abs(q)) / jnp.asarray(n, dtype)
+        lam = jnp.where(g_active, mu0 / s, 1e-6).astype(dtype)
 
     def body(carry, _):
         x, y, lam, s, done, it, best = carry

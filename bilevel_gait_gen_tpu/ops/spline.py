@@ -116,6 +116,108 @@ def foot_position(bounds: jax.Array, footholds: jax.Array, t: jax.Array,
     return jnp.concatenate([xy, z[None]])
 
 
+# ----------------------------------------------------------------------------
+# Dense basis weights (assembly fast path)
+#
+# The QP assembly needs d(force)/d(vars) and d(position)/d(vars) at many
+# fixed times.  Autodiff per constraint row works but is gather-heavy; these
+# closed forms produce the same weights as dense masked arithmetic over the
+# static slot grid — no dynamic indexing, MXU/VPU-friendly, and still
+# differentiable in `bounds` (the reference's GetPolyVarsLin / GetVarsIdx
+# pair, end_effector_splines.cpp:201-354, done as one vectorized expression).
+# ----------------------------------------------------------------------------
+
+def _hermite_basis(dt, s):
+    """Cubic Hermite basis (h00, h01, h10, h11) at local time s in [0, dt]."""
+    dt = jnp.maximum(dt, _EPS)
+    r2 = (s * s) / (dt * dt)
+    r3 = (s * s * s) / (dt * dt * dt)
+    h00 = 1.0 - 3.0 * r2 + 2.0 * r3
+    h01 = 3.0 * r2 - 2.0 * r3
+    h10 = s - 2.0 * s * s / dt + s * s * s / (dt * dt)
+    h11 = -s * s / dt + s * s * s / (dt * dt)
+    return h00, h01, h10, h11
+
+
+def force_weights(bounds: jax.Array, t: jax.Array,
+                  num_force_polys: int) -> jax.Array:
+    """[S, F-1, 2] weights with force_coord(t) = sum w * f_nodes[:, :, coord].
+
+    Same for every coordinate.  Zero outside stance (swing / out of window).
+    """
+    F = num_force_polys
+    P = bounds.shape[-1] - 1
+    S = (P + 1) // 2
+    t0 = bounds[0:2 * S:2]
+    t1 = bounds[1:2 * S + 1:2]
+    dur = jnp.maximum(t1 - t0, _EPS)
+    seg = dur / F
+    active = (t >= t0) & (t < t1)                      # [S]
+    j = jnp.clip(jnp.floor((t - t0) / seg), 0, F - 1)  # [S] float
+    s_loc = t - (t0 + j * seg)
+    h00, h01, h10, h11 = _hermite_basis(seg, s_loc)    # [S] each
+    k = jnp.arange(1, F, dtype=bounds.dtype)           # [F-1] interior nodes
+    left = (j[:, None] == k[None, :])                  # node k is x0 of seg j
+    right = (j[:, None] == k[None, :] - 1.0)           # node k is x1 of seg j
+    w_val = jnp.where(left, h00[:, None], 0.0) + jnp.where(
+        right, h01[:, None], 0.0)
+    w_dot = (jnp.where(left, h10[:, None], 0.0)
+             + jnp.where(right, h11[:, None], 0.0)) * FORCE_MULT
+    w = jnp.stack([w_val, w_dot], axis=-1)             # [S, F-1, 2]
+    return w * active[:, None, None]
+
+
+def foothold_weights(bounds: jax.Array, t: jax.Array) -> jax.Array:
+    """[S+1] weights with foot_xy(t) = sum w * footholds (per coord)."""
+    P = bounds.shape[-1] - 1
+    S = (P + 1) // 2
+    n_fh = S + 1
+    t0 = bounds[0:2 * S:2]                             # stance starts [S]
+    t1 = bounds[1:2 * S + 1:2]                         # stance ends   [S]
+    # stance s: weight 1 on foothold s
+    stance_active = (t >= t0) & (t < t1)               # [S]
+    # swing after stance s: slot [t1[s], t0[s+1]) blending s -> s+1
+    t0_next = jnp.concatenate([t0[1:], bounds[-1:]])   # [S]
+    swing_active = (t >= t1) & (t < t0_next)
+    dur = jnp.maximum(t0_next - t1, _EPS)
+    tau = jnp.clip((t - t1) / dur, 0.0, 1.0)
+    blend = tau * tau * (3.0 - 2.0 * tau)
+    w = jnp.zeros(n_fh, dtype=bounds.dtype)
+    w = w.at[:S].add(jnp.where(stance_active, 1.0, 0.0))
+    w = w.at[:S].add(jnp.where(swing_active, 1.0 - blend, 0.0))
+    w = w.at[1:].add(jnp.where(swing_active, blend, 0.0))
+    # before the first stance (t < t0[0]): hold foothold 0
+    before = t < t0[0]
+    w = jnp.where(before, jnp.zeros(n_fh, bounds.dtype).at[0].set(1.0), w)
+    # after the last boundary: hold the final foothold
+    after = t >= bounds[-1]
+    w = jnp.where(after, jnp.zeros(n_fh, bounds.dtype).at[-1].set(1.0), w)
+    return w
+
+
+def foot_z_value(bounds: jax.Array, t: jax.Array, swing_height: float,
+                 foot_offset: float) -> jax.Array:
+    """Prescribed z profile (not a decision variable)."""
+    P = bounds.shape[-1] - 1
+    S = (P + 1) // 2
+    t1 = bounds[1:2 * S + 1:2]
+    t0 = bounds[0:2 * S:2]
+    t0_next = jnp.concatenate([t0[1:], bounds[-1:]])
+    swing_active = (t >= t1) & (t < t0_next)
+    dur = jnp.maximum(t0_next - t1, _EPS)
+    tau = jnp.clip((t - t1) / dur, 0.0, 1.0)
+    half = 0.5 * dur
+    first = tau < 0.5
+    s_loc = jnp.where(first, t - t1, t - t1 - half)
+    z_sw = jnp.where(first,
+                     _hermite(foot_offset, swing_height, 0.0, 0.0, half, s_loc),
+                     _hermite(swing_height, foot_offset, 0.0, 0.0, half, s_loc))
+    z = jnp.where(jnp.any(swing_active),
+                  jnp.sum(jnp.where(swing_active, z_sw, 0.0)),
+                  jnp.asarray(foot_offset, bounds.dtype))
+    return z
+
+
 def forces_all(sched_bounds: jax.Array, f_nodes: jax.Array, t: jax.Array,
                num_force_polys: int) -> jax.Array:
     """[E, 3] forces for all EEs at time t."""

@@ -1,0 +1,72 @@
+"""Device-mesh scaling tests on the 8-device virtual CPU mesh.
+
+Covers SURVEY §5 "distributed communication backend": scenario batch
+sharded with jax.sharding, results identical to the unsharded path, and
+the dryrun_multichip entry used by the driver.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bilevel_gait_gen_tpu.models import a1, rbd, srb
+from bilevel_gait_gen_tpu.mpc import gait, solver
+from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
+from bilevel_gait_gen_tpu.parallel import mesh as mesh_mod
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = MPCConfig(num_nodes=6, num_phase_slots=4, phase_duration=0.5,
+                    samples_per_stance=4, ee_node_start=1, ipm_iters=8,
+                    init_run_iters=2, max_ls_iters=4, dt=0.05).validate()
+    model = a1.make_a1()
+    q0 = jnp.asarray(a1.stand_config(), jnp.float32)
+    params = srb.make_srb_params(model, q0)
+    x0 = jnp.zeros(13, jnp.float32).at[2].set(0.3).at[9].set(1.0)
+    feet0 = rbd.ee_positions(model, q0).astype(jnp.float32)
+    traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
+    st = solver.SolverState(traj=traj,
+                            ee_box=jnp.asarray(cfg.ee_box_size, jnp.float32))
+    x_des = srb.manifold_to_tangent(x0)
+    return cfg, params, st, x0, feet0, x_des
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_batch_matches_unsharded(setup):
+    cfg, params, st, x0, feet0, x_des = setup
+    B = 8
+    key = jax.random.PRNGKey(0)
+    x0s = x0[None, :] + 0.01 * jax.random.normal(key, (B, 13), jnp.float32
+                                                 ).at[:, 6:10].set(0.0)
+    states = jax.tree.map(lambda a: jnp.stack([a] * B), st)
+    feets = jnp.stack([feet0] * B)
+
+    step = mesh_mod.batched_solve_step(cfg, params)
+    t0 = jnp.asarray(0.0, jnp.float32)
+    out_plain, stats_plain = step(states, x0s, t0, feets, x_des)
+
+    mesh = mesh_mod.make_mesh((8,), ("scenario",))
+    states_s = mesh_mod.shard_batch(states, mesh)
+    x0s_s = mesh_mod.shard_batch(x0s, mesh)
+    feets_s = mesh_mod.shard_batch(feets, mesh)
+    out_shard, stats_shard = step(states_s, x0s_s, t0, feets_s, x_des)
+
+    # f32: partitioning changes reduction order; agreement is approximate
+    np.testing.assert_allclose(np.asarray(stats_plain.cost),
+                               np.asarray(stats_shard.cost), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_plain.traj.x_man),
+                               np.asarray(out_shard.traj.x_man), atol=2e-3)
+    # outputs keep the sharding (no implicit gather to one device)
+    sh = out_shard.traj.x_man.sharding
+    assert isinstance(sh, NamedSharding) or len(jax.devices()) == 1
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)

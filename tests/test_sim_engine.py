@@ -1,0 +1,70 @@
+"""On-device closed-loop simulation tests (sim/engine.py).
+
+The whole stack — penalty-contact physics, whole-body QP, MPC real-time
+iterations — as one jitted scan.  Small shapes keep compile time sane; the
+contract is: runs, stays finite, and the standing robot stays upright.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bilevel_gait_gen_tpu.control import wbqp
+from bilevel_gait_gen_tpu.models import a1, rbd, srb
+from bilevel_gait_gen_tpu.mpc import gait, solver
+from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
+from bilevel_gait_gen_tpu.sim import engine
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+def test_physics_step_free_fall():
+    model = a1.make_a1()
+    sim = engine.SimConfig()
+    q = jnp.asarray(a1.stand_config(), jnp.float64).at[2].set(1.0)
+    v = jnp.zeros(model.nv)
+    q2, v2 = engine.physics_step(model, sim, q, v,
+                                 jnp.zeros(model.num_joints), 0.001)
+    # airborne: base accelerates at -g
+    np.testing.assert_allclose(float(v2[2]), -9.81e-3, rtol=1e-3)
+
+
+def test_contact_forces_support():
+    sim = engine.SimConfig()
+    feet = jnp.array([[0.0, 0.0, 0.005]] * 4)   # penetrating
+    vel = jnp.zeros((4, 3))
+    f = engine.contact_forces(sim, feet, vel)
+    assert np.all(np.asarray(f[:, 2]) > 0)
+    feet_air = jnp.array([[0.0, 0.0, 0.1]] * 4)
+    f2 = engine.contact_forces(sim, feet_air, vel)
+    np.testing.assert_allclose(np.asarray(f2), 0.0)
+
+
+def test_closed_loop_standing_small():
+    """Standing schedule, 30 control ticks fully on device."""
+    cfg = MPCConfig(num_nodes=6, num_phase_slots=4, phase_duration=0.5,
+                    samples_per_stance=4, ee_node_start=1, ipm_iters=15,
+                    init_run_iters=3, max_ls_iters=4, dt=0.05).validate()
+    model = a1.make_a1()
+    q0 = jnp.asarray(a1.stand_config(), jnp.float32).at[2].add(-0.007)
+    params = srb.make_srb_params(model, q0)
+    x0 = jnp.zeros(13, jnp.float32).at[2].set(0.293).at[9].set(1.0)
+    feet0 = rbd.ee_positions(model, q0).astype(jnp.float32)
+    sched = gait.make_standing(cfg)
+    traj = default_trajectory(cfg, sched, x0, feet0[:, :2])
+    state = solver.SolverState(
+        traj=traj, ee_box=jnp.asarray(cfg.ee_box_size, jnp.float32))
+    x_des = srb.manifold_to_tangent(x0)
+    state, stats = solver.create_initial_run(cfg, params, state, x0, feet0,
+                                             x_des)
+    assert bool(stats.solved)
+
+    sim = engine.SimConfig(substeps=2)
+    wb = wbqp.WBQPConfig(ipm_iters=10)
+    run = jax.jit(lambda st, q, v: engine.closed_loop(
+        model, params, cfg, wb, sim, st, q, v, x_des,
+        n_ticks=30, control_dt=0.004, mpc_every=10))
+    st_out, log = run(state, q0, jnp.zeros(model.nv, jnp.float32))
+    qs = np.asarray(log.q)
+    assert np.all(np.isfinite(qs))
+    z = qs[:, 2]
+    assert z.min() > 0.2, z.min()
+    assert abs(z[-1] - 0.293) < 0.06
