@@ -135,11 +135,16 @@ def discrete_step(params: SRBParams, x_tan: jax.Array,
                   f_nodes: jax.Array, footholds: jax.Array,
                   bounds: jax.Array, t: jax.Array, dt: float,
                   cfg: MPCConfig) -> jax.Array:
-    """Forward-Euler step (reference RKIntegrator::CalcIntegral actually does
-    Euler, mpc/rk_integrator.cpp:14-30; discretization A = I + dt*Ac,
-    mpc_single_rigid_body.cpp:246-248)."""
-    return x_tan + dt * dynamics(params, x_tan, f_nodes, footholds, bounds,
-                                 t, cfg)
+    """One integration step.  "euler" is the reference production path
+    (RKIntegrator::CalcIntegral actually does Euler, mpc/rk_integrator.cpp:
+    14-30; discretization A = I + dt*Ac, mpc_single_rigid_body.cpp:246-248);
+    "rk2" is the midpoint method the reference keeps commented out."""
+    k1 = dynamics(params, x_tan, f_nodes, footholds, bounds, t, cfg)
+    if cfg.integrator == "rk2":
+        k2 = dynamics(params, x_tan + 0.5 * dt * k1, f_nodes, footholds,
+                      bounds, t + 0.5 * dt, cfg)
+        return x_tan + dt * k2
+    return x_tan + dt * k1
 
 
 def linearize(params: SRBParams, x_tan: jax.Array,

@@ -143,7 +143,8 @@ def line_search(cfg: MPCConfig, params: SRBParams,
         traj_a = Trajectory(x_man=state.traj.x_man, f_nodes=state.traj.f_nodes,
                             footholds=state.traj.footholds,
                             sched=GaitSchedule(bounds=bounds_a))
-        st_a = solver_mod.SolverState(traj=traj_a, ee_box=state.ee_box)
+        st_a = solver_mod.SolverState(traj=traj_a, ee_box=state.ee_box,
+                                      qp_warm=state.qp_warm)
         st_a, stats = solver_mod.solve_step(cfg, params, st_a, x0_man, t0,
                                             ee_pos0, x_des_tan,
                                             shift_window=False)
@@ -156,8 +157,7 @@ def line_search(cfg: MPCConfig, params: SRBParams,
     # if nothing solved, keep the original state (reference :732-737)
     any_ok = jnp.isfinite(costs[best])
     new_state = jax.tree.map(
-        lambda a, b_: jnp.where(any_ok, a, b_), new_state,
-        solver_mod.SolverState(traj=state.traj, ee_box=state.ee_box))
+        lambda a, b_: jnp.where(any_ok, a, b_), new_state, state)
     return GaitOptResult(state=new_state, alpha=alphas[best] * any_ok,
                          cost=jnp.where(any_ok, costs[best], jnp.inf),
                          grad_norm=jnp.linalg.norm(step))

@@ -286,21 +286,30 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
     times = t0 + dt * jnp.arange(N + 1, dtype=dtype)
 
     # ---- spline basis weights at the node times --------------------------
-    wf_n = jax.vmap(lambda t: jax.vmap(
-        lambda b: spline.force_weights(b, t, F))(bounds))(times)
-    # wf_n: [N+1, E, S, K, 2]
-    wp_n = jax.vmap(lambda t: jax.vmap(
-        lambda b: spline.foothold_weights(b, t))(bounds))(times)
-    # wp_n: [N+1, E, NF]
-    z_n = jax.vmap(lambda t: jax.vmap(
-        lambda b: spline.foot_z_value(b, t, cfg.swing_height,
-                                      cfg.foot_offset))(bounds))(times)
-    # z_n: [N+1, E]
+    def weights_at(ts_):
+        wf = jax.vmap(lambda t: jax.vmap(
+            lambda b: spline.force_weights(b, t, F))(bounds))(ts_)
+        wp = jax.vmap(lambda t: jax.vmap(
+            lambda b: spline.foothold_weights(b, t))(bounds))(ts_)
+        zz = jax.vmap(lambda t: jax.vmap(
+            lambda b: spline.foot_z_value(b, t, cfg.swing_height,
+                                          cfg.foot_offset))(bounds))(ts_)
+        return wf, wp, zz
 
-    # forces / feet along the linearization trajectory
-    f_traj = jnp.einsum('kesnw,esncw->kec', wf_n, traj.f_nodes)  # [N+1, E, 3]
-    feet_xy = jnp.einsum('kem,emc->kec', wp_n, traj.footholds)  # [N+1, E, 2]
-    feet = jnp.concatenate([feet_xy, z_n[..., None]], axis=-1)  # [N+1, E, 3]
+    wf_n, wp_n, z_n = weights_at(times)  # [N+1,E,S,K,2], [N+1,E,NF], [N+1,E]
+    if cfg.integrator == "rk2":
+        # midpoint evaluation of the input map (reference's C2 term,
+        # GetLinearDynamics :160-163)
+        wf_lin, wp_lin, z_lin = weights_at(times + 0.5 * dt)
+    else:
+        wf_lin, wp_lin, z_lin = wf_n, wp_n, z_n
+
+    # forces / feet along the linearization trajectory (at the lin times)
+    f_traj = jnp.einsum('kesnw,esncw->kec', wf_lin, traj.f_nodes)
+    feet_xy_lin = jnp.einsum('kem,emc->kec', wp_lin, traj.footholds)
+    feet = jnp.concatenate([feet_xy_lin, z_lin[..., None]], axis=-1)
+    # node-time feet xy for the EE-box constraint rows
+    feet_xy = jnp.einsum('kem,emc->kec', wp_n, traj.footholds)
 
     # ---- closed-form continuous linearization (GetLinearDynamics) --------
     Ir = params.inertia
@@ -353,6 +362,13 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
             wdot,
         ])
         C = xdot - A @ x - B @ ravel_u(traj.f_nodes, traj.footholds)
+        if cfg.integrator == "rk2":
+            # second-order hold: e^{dtA} ~ I + dtA + dt^2 A^2/2
+            # (reference DiscretizeLinearDynamics, rk_integrator.cpp:32-47)
+            I12 = jnp.eye(12, dtype=dtype)
+            Ad_ = I12 + dt * A + 0.5 * dt * dt * (A @ A)
+            M2 = dt * I12 + 0.5 * dt * dt * A
+            return Ad_, M2 @ B, M2 @ C
         return (jnp.eye(12, dtype=dtype) + dt * A), dt * B, dt * C
 
     Ad, Bd, Cd = jax.vmap(lin_at)(jnp.arange(N))

@@ -49,10 +49,12 @@ def make_state(cfg: MPCConfig, traj: Trajectory, ee_box: jax.Array,
     FB, S, E, N = (cfg.samples_per_stance, cfg.num_stance_slots, cfg.num_ee,
                    cfg.num_nodes)
     m = E * S * FB * 4 + 2 * E * S * FB + 2 * (N + 1 - cfg.ee_node_start) * E * 2
+    # gap = inf is the "not yet a real solution" sentinel: the IPM falls
+    # back to its Mehrotra cold start until the first solve completes
     neutral = pdip.QPSolution(
         x=jnp.zeros(n_u, dtype), y=jnp.zeros(p, dtype),
         lam=jnp.ones(m, dtype), s=jnp.ones(m, dtype),
-        iters=jnp.zeros((), jnp.int32), gap=jnp.ones((), dtype),
+        iters=jnp.zeros((), jnp.int32), gap=jnp.full((), jnp.inf, dtype),
         pri_res=jnp.ones((), dtype), dua_res=jnp.ones((), dtype))
     return SolverState(traj=traj, ee_box=ee_box, qp_warm=neutral)
 
@@ -79,9 +81,9 @@ def _defect_l1(cfg: MPCConfig, params: SRBParams, xs_tan: jax.Array,
     times = t0 + dt * jnp.arange(cfg.num_nodes, dtype=xs_tan.dtype)
 
     def node_defect(k):
-        xdot = srb.dynamics(params, xs_tan[k], f_nodes, footholds, bounds,
-                            times[k], cfg)
-        return xs_tan[k + 1] - (xs_tan[k] + dt * xdot)
+        x_next = srb.discrete_step(params, xs_tan[k], f_nodes, footholds,
+                                   bounds, times[k], dt, cfg)
+        return xs_tan[k + 1] - x_next
 
     d = jax.vmap(node_defect)(jnp.arange(cfg.num_nodes))
     return jnp.sum(jnp.abs(d))

@@ -126,10 +126,14 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
         if warm is not None:
             # scale the warm start into the equilibrated space and push it
             # strictly interior (the RTI warm start: reference carries
-            # prev_qp_sol/prev_dual_sol_ across solves, mpc.h:267-291)
+            # prev_qp_sol/prev_dual_sol_ across solves, mpc.h:267-291).
+            # warm_ok gates on the sentinel: a state that never solved
+            # (gap = inf, see solver.make_state) falls back to the Mehrotra
+            # start — an arbitrary (x, 1, 1) point stalls the IPM.
+            warm_ok = jnp.isfinite(warm.gap) & jnp.all(jnp.isfinite(warm.x))
             warm_s = (warm.x / d, warm.y / e_a,
                       jnp.maximum(warm.lam / e_g, 1e-3),
-                      jnp.maximum(warm.s * e_g, 1e-3))
+                      jnp.maximum(warm.s * e_g, 1e-3), warm_ok)
         sol = _solve_impl(Hs, qs, As, bs, Gs, hs, iters=iters, tol=tol,
                           reg=reg, refine_steps=refine_steps, warm=warm_s)
         x = d * sol.x
@@ -165,24 +169,28 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
     a_active = jnp.any(A != 0, axis=-1)
     m_act = jnp.maximum(jnp.sum(g_active), 1).astype(dtype)
 
+    # Mehrotra-style starting point: solve the equality-constrained QP
+    # (inequalities ignored), then shift slacks/duals strictly interior.
+    M0 = H + jnp.maximum(reg, 1e-8) * jnp.eye(n, dtype=dtype)
+    L0 = jnp.linalg.cholesky(M0)
+    S0 = A @ _chol_solve(L0, A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(
+        p, dtype=dtype)
+    LS0 = jnp.linalg.cholesky(S0)
+    x, y = _kkt_solve(L0, A, LS0, -q, b)
+    s_raw = h - G @ x
+    s_floor = 0.1 * (1.0 + jnp.max(jnp.abs(h)))
+    s = jnp.where(g_active, jnp.maximum(s_raw, s_floor), 1.0)
+    mu0 = 1.0 + jnp.max(jnp.abs(q)) / jnp.asarray(n, dtype)
+    lam = jnp.where(g_active, mu0 / s, 1e-6).astype(dtype)
+
     if warm is not None:
-        x, y, lam, s = warm
-        s = jnp.where(g_active, s, 1.0)
-        lam = jnp.where(g_active, lam, 1e-6).astype(dtype)
-    else:
-        # Mehrotra-style starting point: solve the equality-constrained QP
-        # (inequalities ignored), then shift slacks/duals strictly interior.
-        M0 = H + jnp.maximum(reg, 1e-8) * jnp.eye(n, dtype=dtype)
-        L0 = jnp.linalg.cholesky(M0)
-        S0 = A @ _chol_solve(L0, A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(
-            p, dtype=dtype)
-        LS0 = jnp.linalg.cholesky(S0)
-        x, y = _kkt_solve(L0, A, LS0, -q, b)
-        s_raw = h - G @ x
-        s_floor = 0.1 * (1.0 + jnp.max(jnp.abs(h)))
-        s = jnp.where(g_active, jnp.maximum(s_raw, s_floor), 1.0)
-        mu0 = 1.0 + jnp.max(jnp.abs(q)) / jnp.asarray(n, dtype)
-        lam = jnp.where(g_active, mu0 / s, 1e-6).astype(dtype)
+        wx, wy, wlam, ws, warm_ok = warm
+        ws = jnp.where(g_active, ws, 1.0)
+        wlam = jnp.where(g_active, wlam, 1e-6).astype(dtype)
+        x = jnp.where(warm_ok, wx, x)
+        y = jnp.where(warm_ok, wy, y)
+        lam = jnp.where(warm_ok, wlam, lam)
+        s = jnp.where(warm_ok, ws, s)
 
     def body(carry, _):
         x, y, lam, s, done, it, best = carry

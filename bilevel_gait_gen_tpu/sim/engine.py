@@ -87,13 +87,20 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
                 wb_cfg: wbqp.WBQPConfig, sim: SimConfig,
                 state0: solver_mod.SolverState, q0: jax.Array, v0: jax.Array,
                 x_des_tan: jax.Array, *, n_ticks: int, control_dt: float,
-                mpc_every: int) -> tuple[solver_mod.SolverState, SimLog]:
-    """Full closed loop as one scan: physics + 1 kHz torque QP + MPC RTI.
+                mpc_every: int,
+                gait_opt_every: int = 0) -> tuple[solver_mod.SolverState,
+                                                  SimLog]:
+    """Full closed loop as one scan: physics + 1 kHz torque QP + MPC RTI,
+    optionally with bilevel gait updates on a cadence.
 
     Reference analog: Simulator::RunSimulator / SimpleSimulation with the
     MPC thread folded in (apps/mpc_sim_demo.cpp flow); `mpc_every` plays the
-    free-running MPC thread's update cadence.
+    free-running MPC thread's update cadence and `gait_opt_every` (in MPC
+    updates, 0 = off) the reference's gait_opt_freq 3-phase cycle
+    (MPCController::MPCUpdate, mpc_controller.cpp:286-399).
     """
+    from bilevel_gait_gen_tpu.mpc import bilevel as bilevel_mod
+
     dtype = q0.dtype
     sub_dt = control_dt / sim.substeps
 
@@ -107,6 +114,17 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
             feet = rbd.ee_positions(model, q_)
             st2, stats = solver_mod.solve_step(cfg, params, st_, x_srb, t,
                                                feet, x_des_tan)
+            if gait_opt_every > 0:
+                def do_gait(st3):
+                    res = bilevel_mod.gait_opt_update(cfg, params, st3,
+                                                      x_srb, t, feet,
+                                                      x_des_tan)
+                    return res.state
+
+                mpc_idx = i // mpc_every
+                st2 = jax.lax.cond(
+                    (mpc_idx % gait_opt_every == 0) & (mpc_idx > 0),
+                    do_gait, lambda s: s, st2)
             return st2, t, stats.cost, stats.solved
 
         def no_mpc(args):

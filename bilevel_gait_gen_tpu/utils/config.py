@@ -43,6 +43,9 @@ class MPCConfig:
 
     # Timing
     dt: float = 0.05
+    # "euler" (reference production path, rk_integrator.cpp:14-30) or "rk2"
+    # (the reference's commented-out second-order discretization, :32-47)
+    integrator: str = "euler"
 
     # Physical / constraint parameters
     friction_coef: float = 0.5

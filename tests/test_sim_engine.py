@@ -68,3 +68,30 @@ def test_closed_loop_standing_small():
     z = qs[:, 2]
     assert z.min() > 0.2, z.min()
     assert abs(z[-1] - 0.293) < 0.06
+
+
+def test_closed_loop_with_gait_opt_compiles():
+    """Tiny closed loop with the bilevel gait-opt cadence wired in
+    (MPCUpdate 3-phase cycle).  Checks compile + finiteness."""
+    cfg = MPCConfig(num_nodes=4, num_phase_slots=4, phase_duration=0.5,
+                    samples_per_stance=3, ee_node_start=1, ipm_iters=8,
+                    init_run_iters=1, max_ls_iters=2, ls_alphas=2,
+                    dt=0.05).validate()
+    model = a1.make_a1()
+    q0 = jnp.asarray(a1.stand_config(), jnp.float32).at[2].add(-0.007)
+    params = srb.make_srb_params(model, q0)
+    x0 = jnp.zeros(13, jnp.float32).at[2].set(0.293).at[9].set(1.0)
+    feet0 = rbd.ee_positions(model, q0).astype(jnp.float32)
+    traj = default_trajectory(cfg, gait.make_standing(cfg), x0, feet0[:, :2])
+    state = solver.SolverState(
+        traj=traj, ee_box=jnp.asarray(cfg.ee_box_size, jnp.float32))
+    x_des = srb.manifold_to_tangent(x0)
+
+    sim = engine.SimConfig(substeps=1)
+    wb = wbqp.WBQPConfig(ipm_iters=8)
+    st_out, log = engine.closed_loop(
+        model, params, cfg, wb, sim, state, q0,
+        jnp.zeros(model.nv, jnp.float32), x_des,
+        n_ticks=6, control_dt=0.01, mpc_every=2, gait_opt_every=2)
+    assert np.all(np.isfinite(np.asarray(log.q)))
+    assert np.all(np.isfinite(np.asarray(st_out.traj.sched.bounds)))
