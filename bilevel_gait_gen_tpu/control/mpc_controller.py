@@ -75,8 +75,6 @@ def targets_from_traj(model: RobotModel, cfg: MPCConfig, traj: Trajectory,
                                       t + eps, cfg.swing_height,
                                       cfg.foot_offset)
     feet_vel = (feet2 - feet) / eps
-    # base twist from the SRB state
-    params_mass = None  # base vel from momentum requires mass; see below
     contact = gait_mod.contact_flags(traj.sched, t)
     f_des = spline.forces_all(traj.sched.bounds, traj.f_nodes, t,
                               cfg.num_force_polys)

