@@ -183,6 +183,19 @@ def past_cycles(sched: GaitSchedule, t0: jax.Array) -> jax.Array:
     return jnp.sum(cyc_ends <= t0[..., None], axis=-1).astype(jnp.int32)
 
 
+def adjust_for_current_contacts(sched: GaitSchedule, measured: jax.Array,
+                                t: jax.Array,
+                                window: float = 7e-2) -> GaitSchedule:
+    """Early-touchdown fixup (MPC::AdjustForCurrentContacts,
+    mpc/mpc.cpp:1195-1203): feet that measure contact while still scheduled
+    for swing, within `window` seconds of their planned touchdown, get the
+    touchdown snapped to now."""
+    desired = contact_flags(sched, t)
+    next_td = jax.vmap(lambda b: next_touchdown_time(b, t))(sched.bounds)
+    mask = measured & ~desired & ((next_td - t) < window)
+    return set_ee_in_contact(sched, mask, t)
+
+
 def set_ee_in_contact(sched: GaitSchedule, ee_mask: jax.Array,
                       t: jax.Array) -> GaitSchedule:
     """Early-touchdown fixup: pull the next touchdown back to time t.

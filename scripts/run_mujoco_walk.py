@@ -6,6 +6,7 @@ rate, MuJoCo physics on the host.
 
 Usage: python scripts/run_mujoco_walk.py [seconds] [--cpu]
 """
+import dataclasses
 import os
 import sys
 import time
@@ -31,21 +32,53 @@ from bilevel_gait_gen_tpu.utils.config import MPCConfig
 def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else 2.0
     dtype = jnp.float32
-    cfg = MPCConfig(ipm_iters=18).validate()
+    if "--config=push" in sys.argv:
+        # reference push-recovery config (a1_config_distr_rejection.yaml):
+        # N=50 @ 0.02, force bound 200, mu 0.6, z-heavy weights
+        cfg = MPCConfig(num_nodes=50, dt=0.02, ipm_iters=18,
+                        force_bound=200.0, friction_coef=0.6,
+                        force_cost=0.001,
+                        q_diag=(140.0, 140.0, 12000.0, 0.015, 0.015, 10.0,
+                                3000.0, 3000.0, 3000.0, 1.0, 1.0, 1.0)
+                        ).validate()
+    else:
+        cfg = MPCConfig(ipm_iters=18).validate()
     wb_cfg = wbqp.WBQPConfig()
 
-    model = a1.make_a1()
-    q0_np = np.asarray(a1.stand_config(), np.float64)
-    q0_np[2] -= 0.007  # settle all feet into ground contact
+    if "--robot=mini_cheetah" in sys.argv:
+        from bilevel_gait_gen_tpu.models import mini_cheetah as robot_mod
+        model = robot_mod.make_mini_cheetah()
+        q0_np = np.asarray(robot_mod.stand_config(), np.float64)
+        wb_cfg = wbqp.WBQPConfig(torque_bound=float(model.effort_limit[0]),
+                                 kp_joint=900.0, kd_joint=30.0)
+    else:
+        model = a1.make_a1()
+        q0_np = np.asarray(a1.stand_config(), np.float64)
+    # settle ALL feet into ground contact: the highest foot center ends at
+    # foot_radius - 1.5 mm (a hovering rear pair destroys standing)
+    foot_radius = 0.02
+    feet_z0 = np.asarray(rbd.ee_positions(
+        model, jnp.asarray(q0_np, dtype)))[:, 2]
+    q0_np[2] -= float(feet_z0.max()) - foot_radius + 0.0015
     q0 = jnp.asarray(q0_np, dtype)
     params = srb.make_srb_params(model, q0)
 
-    x0 = jnp.zeros(13, dtype).at[2].set(0.3).at[9].set(1.0)
+    # --initpush[=vx]: the reference's push-recovery scenario — the robot
+    # STARTS with a COM velocity and the MPC plans from that state
+    # (srb_init in a1_config_distr_rejection.yaml)
+    init_vx = 0.0
+    for a in sys.argv[1:]:
+        if a.startswith("--initpush"):
+            init_vx = float(a.split("=", 1)[1]) if "=" in a else 1.0
+    x0 = (jnp.zeros(13, dtype).at[2].set(float(q0_np[2])).at[9].set(1.0)
+          .at[3].set(init_vx * float(params.mass)))
     feet0 = rbd.ee_positions(model, q0).astype(dtype)
     traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
     state = solver.SolverState(traj=traj,
                                ee_box=jnp.asarray(cfg.ee_box_size, dtype))
-    x_des = srb.manifold_to_tangent(x0)
+    # target: trot in place at nominal height with ZERO momentum (the push
+    # must be rejected, not maintained)
+    x_des = srb.manifold_to_tangent(x0.at[3:6].set(0.0))
 
     print("initial MPC run ...")
     t_start = time.time()
@@ -61,7 +94,9 @@ def main():
         model, params, cfg, wb_cfg, traj, q, v, t, t0, mc))
 
     loop = MujocoLoop(model, timestep=0.001)
-    loop.set_state(np.asarray(q0), np.zeros(model.nv))
+    v0_np = np.zeros(model.nv)
+    v0_np[0] = init_vx
+    loop.set_state(np.asarray(q0), v0_np)
 
     mpc_period = cfg.dt     # one RTI per MPC node period (reference cadence)
     holder = {"state": state, "t0": 0.0, "n_mpc": 0, "mpc_ms": 0.0,
@@ -74,7 +109,14 @@ def main():
             tm = time.perf_counter()
             x_srb = mpc_controller.reconstruct_srb_state(model, params, qj, vj)
             feet = rbd.ee_positions(model, qj)
-            st, stats = mpc_step(holder["state"], x_srb,
+            # early-touchdown schedule sync (AdjustForCurrentContacts)
+            mc_now = jnp.asarray(loop.contacts())
+            st_in = holder["state"]
+            sched2 = gait.adjust_for_current_contacts(
+                st_in.traj.sched, mc_now, jnp.asarray(t, dtype))
+            st_in = dataclasses.replace(
+                st_in, traj=dataclasses.replace(st_in.traj, sched=sched2))
+            st, stats = mpc_step(st_in, x_srb,
                                  jnp.asarray(t, dtype), feet)
             jax.block_until_ready(stats.cost)
             holder["state"] = st
@@ -92,10 +134,28 @@ def main():
         holder["n_ctrl"] += 1
         return tau
 
+    # optional push-recovery test (reference a1_config_distr_rejection):
+    # --push[=vx] injects a base velocity impulse at t = 1 s
+    push_v = 0.0
+    for a in sys.argv[1:]:
+        if a.startswith("--push"):
+            push_v = float(a.split("=", 1)[1]) if "=" in a else 1.0
+
     n_steps = int(seconds * 1000)
-    print(f"running {n_steps} MuJoCo steps ...")
+    print(f"running {n_steps} MuJoCo steps ..."
+          + (f" (push {push_v} m/s at t=1s)" if push_v else ""))
     t_start = time.time()
-    qs, vs, taus = loop.run(control_fn, n_steps, control_decimation=1)
+    if push_v and n_steps > 1000:
+        qs1, vs1, taus1 = loop.run(control_fn, 1000, control_decimation=1)
+        loop.mj_data.qvel[0] += push_v
+        qs2, vs2, taus2 = loop.run(
+            lambda q, v, t: control_fn(q, v, t + 1.0), n_steps - 1000,
+            control_decimation=1)
+        qs = np.concatenate([qs1, qs2])
+        vs = np.concatenate([vs1, vs2])
+        taus = np.concatenate([taus1, taus2])
+    else:
+        qs, vs, taus = loop.run(control_fn, n_steps, control_decimation=1)
     wall = time.time() - t_start
 
     z = qs[:, 2]

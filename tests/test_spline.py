@@ -192,3 +192,25 @@ def test_next_touchdown_and_swing_time():
     np.testing.assert_allclose(td, 0.3, atol=1e-6)
     st = gait.current_swing_time(b_fl, jnp.array(0.05))
     np.testing.assert_allclose(st, 0.3, atol=1e-6)
+
+
+def test_adjust_for_current_contacts():
+    """Early touchdown snaps the upcoming stance start to now
+    (AdjustForCurrentContacts, mpc/mpc.cpp:1195-1203)."""
+    sched = gait.make_trot(CFG)
+    t = jnp.array(0.56)
+    # FR (ee 1) swings [0.3, 0.6]; it measures contact 40 ms early
+    measured = jnp.array([False, True, False, False])
+    sched2 = gait.adjust_for_current_contacts(sched, measured, t)
+    b1 = np.asarray(sched2.bounds[1])
+    assert abs(b1[2] - 0.56) < 1e-6, b1  # TD at 0.6 snapped to 0.56
+    assert np.all(np.diff(b1) >= -1e-6)
+    # other feet unchanged
+    np.testing.assert_allclose(np.asarray(sched2.bounds[0]),
+                               np.asarray(sched.bounds[0]))
+    # a foot measuring contact long before its touchdown is NOT snapped
+    measured2 = jnp.array([False, True, False, False])
+    sched3 = gait.adjust_for_current_contacts(sched, measured2,
+                                              jnp.array(0.35))
+    np.testing.assert_allclose(np.asarray(sched3.bounds[1]),
+                               np.asarray(sched.bounds[1]))
