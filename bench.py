@@ -37,7 +37,10 @@ def main():
     BATCH = int(os.environ.get("BENCH_BATCH", "128"))
     # warm-started real-time iterations need ~10 IPM sweeps (measured: same
     # solution quality as 18 cold sweeps at half the cost)
-    cfg = MPCConfig(ipm_iters=10).validate()   # N=20, dt=0.05 (walk config)
+    cfg = MPCConfig(
+        ipm_iters=10,
+        ipm_exact_every=int(os.environ.get("BENCH_EXACT_EVERY", "3")),
+    ).validate()   # N=20, dt=0.05 (walk config)
     dtype = jnp.float32
 
     model = a1.make_a1()
@@ -99,6 +102,7 @@ def main():
         "single_solve_p99_ms": round(p99, 2),
         "rt_budget_ms": 50.0,
         "all_solved": ok,
+        "solved_frac": round(float(np.asarray(stats.solved).mean()), 4),
     }
     print(json.dumps(result))
 

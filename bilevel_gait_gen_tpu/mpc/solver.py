@@ -110,8 +110,12 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
     # ------- assemble + solve ---------------------------------------------
     qp = qp_mod.assemble(cfg, params, traj, x0_man, t0, ee_pos0,
                          x_des_tan, state.ee_box)
+    # Newton-Schulz inverse tracking is only stable in the warm-started
+    # regime (slow W drift); cold-start solves use exact factorizations
+    exact_every = cfg.ipm_exact_every if state.qp_warm is not None else 1
     sol = pdip.solve(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h,
                      iters=cfg.ipm_iters, tol=cfg.ipm_tol,
+                     exact_every=exact_every,
                      warm=state.qp_warm)
 
     u_prev = ravel_u(traj.f_nodes, traj.footholds)

@@ -95,6 +95,22 @@ def _chol_inverse(M):
     return _chol_solve(L, eye)
 
 
+def _ns_refresh(X, M, steps: int = 2):
+    """Newton-Schulz inverse tracking: X <- X (2I - M X).
+
+    Quadratic convergence: with ||I - M X|| = r the residual becomes r^2
+    per step.  Between IPM iterations M changes by G^T dW G — small early,
+    larger late — so the solver refreshes the exact inverse on a fixed
+    cadence (see `exact_every`) and tracks in between with pure GEMMs,
+    avoiding the triangular-solve custom calls that dominate TPU time.
+    """
+    n = M.shape[-1]
+    I2 = 2.0 * jnp.eye(n, dtype=M.dtype)
+    for _ in range(steps):
+        X = X @ (I2 - M @ X)
+    return X
+
+
 def _kkt_solve(Mi, A, Si, r1, r2):
     """Solve [[M, A^T], [A, 0]] [dx, dy] = [r1, r2] given M^{-1}, S^{-1}.
 
@@ -123,7 +139,7 @@ def _refine(Mi, A, Si, M, r1, r2, dx, dy, steps: int = 1):
 def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
           G: jax.Array, h: jax.Array, *, iters: int = 25,
           tol: float = 1e-9, reg: float = 1e-8,
-          refine_steps: int = 1,
+          refine_steps: int = 1, exact_every: int = 1, ns_steps: int = 2,
           warm: QPSolution | None = None) -> QPSolution:
     """Mehrotra predictor-corrector interior point, fixed ``iters`` sweeps.
 
@@ -151,7 +167,8 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
                       jnp.maximum(warm.lam / e_g, 1e-3),
                       jnp.maximum(warm.s * e_g, 1e-3), warm_ok)
         sol = _solve_impl(Hs, qs, As, bs, Gs, hs, iters=iters, tol=tol,
-                          reg=reg, refine_steps=refine_steps, warm=warm_s)
+                          reg=reg, refine_steps=refine_steps, warm=warm_s,
+                          exact_every=exact_every, ns_steps=ns_steps)
         x = d * sol.x
         y = e_a * sol.y
         lam = e_g * sol.lam
@@ -169,7 +186,7 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
 
 
 def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
-                warm=None):
+                warm=None, exact_every: int = 1, ns_steps: int = 2):
     # dtype-aware floors: f32 needs ~50*eps regularization and a tighter
     # complementarity-ratio clamp to keep the Cholesky finite
     eps = float(jnp.finfo(q.dtype).eps)
@@ -208,14 +225,22 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
         lam = jnp.where(warm_ok, wlam, lam)
         s = jnp.where(warm_ok, ws, s)
 
-    def body(carry, _):
-        x, y, lam, s, done, it, best = carry
+    def body(carry, i):
+        x, y, lam, s, done, it, best, Mi_prev = carry
 
         # clamped scaling guards the Cholesky against extreme final iterates
         W = jnp.clip(lam / s, 1.0 / w_hi, w_hi)         # [m]
         Gw = G * W[:, None]
         M = H + G.T @ Gw + reg * jnp.eye(n, dtype=dtype)
-        Mi = _chol_inverse(M)
+        # inverse tracking: exact Cholesky inverse on a fixed cadence,
+        # Newton-Schulz GEMM updates in between (the predicate depends only
+        # on the scan counter, so it stays a real branch under vmap and the
+        # exact path's triangular-solve custom calls are actually skipped)
+        Mi = jax.lax.cond(
+            i % exact_every == 0,
+            lambda op: _chol_inverse(op[0]),
+            lambda op: _ns_refresh(op[1], op[0], ns_steps),
+            (M, Mi_prev))
         S_mat = A @ (Mi @ A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(
             p, dtype=dtype)
         Si = _chol_inverse(S_mat)
@@ -286,12 +311,13 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
         s = jnp.where(take, jnp.maximum(s + a_p * ds_c, 1e-30), s)
         lam = jnp.where(take, jnp.maximum(lam + a_d * dl_c, 1e-30), lam)
         it = it + jnp.where(new_done, 0, 1)
-        return (x, y, lam, s, new_done, it, best), None
+        return (x, y, lam, s, new_done, it, best, Mi), None
 
     best0 = (x, y, lam, s, jnp.asarray(jnp.inf, dtype))
-    init = (x, y, lam, s, jnp.zeros((), bool), jnp.zeros((), jnp.int32), best0)
-    (x, y, lam, s, _, it, best), _ = jax.lax.scan(body, init, None,
-                                                  length=iters)
+    init = (x, y, lam, s, jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+            best0, Mi0)
+    (x, y, lam, s, _, it, best, _), _ = jax.lax.scan(
+        body, init, jnp.arange(iters))
 
     # final iterate competes with the tracked best
     def merit_of(x_, y_, lam_, s_):

@@ -72,6 +72,9 @@ class MPCConfig:
     # Interior-point solver
     ipm_iters: int = 25
     ipm_tol: float = 1e-9
+    # exact inverse refresh cadence (Newton-Schulz GEMM tracking between);
+    # >1 is safe for warm-started RTI problems and much faster on TPU
+    ipm_exact_every: int = 3
 
     # Gait schedule defaults (reference CreateDefaultSwitchingTimes:
     # 0.3 s phases, trot parity trajectory.cpp:24-28)
