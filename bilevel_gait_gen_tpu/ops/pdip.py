@@ -235,7 +235,11 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
         # inverse tracking: exact Cholesky inverse on a fixed cadence,
         # Newton-Schulz GEMM updates in between (the predicate depends only
         # on the scan counter, so it stays a real branch under vmap and the
-        # exact path's triangular-solve custom calls are actually skipped)
+        # exact path's triangular-solve custom calls are actually skipped).
+        # Note: residual-gating the NS update (falling back to the stale
+        # inverse) was tried and made things WORSE — a marginal NS inverse
+        # still beats a stale one; divergent cases are caught downstream by
+        # the non-finite step rejection + solve-quality gate.
         Mi = jax.lax.cond(
             i % exact_every == 0,
             lambda op: _chol_inverse(op[0]),
