@@ -240,8 +240,10 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
         # inverse) was tried and made things WORSE — a marginal NS inverse
         # still beats a stale one; divergent cases are caught downstream by
         # the non-finite step rejection + solve-quality gate.
+        # exact during the first iterations (W swings violently from any
+        # cold-ish start) and on the cadence after
         Mi = jax.lax.cond(
-            i % exact_every == 0,
+            (i < 2) | (i % exact_every == 0),
             lambda op: _chol_inverse(op[0]),
             lambda op: _ns_refresh(op[1], op[0], ns_steps),
             (M, Mi_prev))
