@@ -77,6 +77,10 @@ def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
     n = E * P1
     dtype = b.dtype
     g = grad.reshape(-1)
+    # normalize: with Bk = 0 (reference gait_optimizer.cpp:276) the step is
+    # direction-only and the alpha grid scans magnitude; unnormalized
+    # gradients (|g| ~ 1e3) also start the IPM far outside the trust box
+    g = g / jnp.maximum(1.0, jnp.max(jnp.abs(g)))
     trust = jnp.asarray(cfg.trust_region if trust is None else trust, dtype)
 
     # pin boundaries at/before t0 (the reference pins the first node and the
@@ -115,7 +119,18 @@ def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
     h = jnp.concatenate([h_ord, h_tr])
 
     sol = pdip.solve(H, q, A, beq, G, h, iters=30, tol=1e-10)
-    return sol.x.reshape(E, P1)
+    # safety clamps (the reference clamps ordering violations after its
+    # projection QP too, ConvertQPVecToContactTimes :651-669): trust box,
+    # pinned boundaries, and a failed-QP zero step
+    d = jnp.clip(sol.x, -trust, trust)
+    d = jnp.where(pinned, 0.0, d)
+    ok = (sol.pri_res < 1e-2) & jnp.all(jnp.isfinite(d))
+    d = jnp.where(ok, d, 0.0)
+    # re-impose ordering: moved boundaries must stay monotone
+    d2 = d.reshape(E, P1)
+    b2 = b + d2
+    b2 = jnp.maximum.accumulate(b2, axis=1)
+    return b2 - b
 
 
 class GaitOptResult(NamedTuple):

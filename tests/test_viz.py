@@ -1,0 +1,28 @@
+"""Viz export smoke tests (sim/viz.py — headless analog of the reference's
+viewer overlays)."""
+import numpy as np
+import jax.numpy as jnp
+
+from bilevel_gait_gen_tpu.mpc import gait
+from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
+from bilevel_gait_gen_tpu.sim import viz
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+def test_plot_rollout(tmp_path):
+    qs = np.random.default_rng(0).standard_normal((50, 19)) * 0.01
+    qs[:, 2] += 0.3
+    taus = np.random.default_rng(1).standard_normal((50, 12))
+    p = viz.plot_rollout(qs, taus, path=str(tmp_path / "r.png"))
+    import os
+    assert os.path.getsize(p) > 1000
+
+
+def test_plot_plan(tmp_path):
+    cfg = MPCConfig().validate()
+    x0 = jnp.zeros(13).at[2].set(0.3).at[9].set(1.0)
+    traj = default_trajectory(cfg, gait.make_trot(cfg), x0,
+                              jnp.zeros((4, 2)))
+    p = viz.plot_plan(traj, cfg, path=str(tmp_path / "p.png"))
+    import os
+    assert os.path.getsize(p) > 1000
