@@ -35,6 +35,10 @@ def test_triple_buffer_concurrent():
     """Producer at full speed, consumer sampling: consumer always sees a
     complete (x, x+0.5) pair — no torn reads."""
     tb = runtime.TripleBuffer(2)
+    # seed a valid pair: a never-written buffer reads all-zeros, and under
+    # load the first consumer read can beat the producer thread's first
+    # write (observed as a suite-only flake)
+    tb.write(np.array([0.0, 0.5]))
     stop = threading.Event()
     errors = []
 
