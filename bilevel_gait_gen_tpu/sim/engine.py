@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from bilevel_gait_gen_tpu.control import mpc_controller, wbqp
 from bilevel_gait_gen_tpu.models import rbd, srb
 from bilevel_gait_gen_tpu.models.rbd import RobotModel
+from bilevel_gait_gen_tpu.mpc import gait as gait_mod
 from bilevel_gait_gen_tpu.mpc import solver as solver_mod
 from bilevel_gait_gen_tpu.ops import spline
 from bilevel_gait_gen_tpu.utils.config import MPCConfig
@@ -87,9 +88,9 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
                 wb_cfg: wbqp.WBQPConfig, sim: SimConfig,
                 state0: solver_mod.SolverState, q0: jax.Array, v0: jax.Array,
                 x_des_tan: jax.Array, *, n_ticks: int, control_dt: float,
-                mpc_every: int,
-                gait_opt_every: int = 0) -> tuple[solver_mod.SolverState,
-                                                  SimLog]:
+                mpc_every: int, gait_opt_every: int = 0,
+                contact_sync: bool = False) -> tuple[solver_mod.SolverState,
+                                                     SimLog]:
     """Full closed loop as one scan: physics + 1 kHz torque QP + MPC RTI,
     optionally with bilevel gait updates on a cadence.
 
@@ -112,6 +113,17 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
             q_, v_, st_, _ = args
             x_srb = mpc_controller.reconstruct_srb_state(model, params, q_, v_)
             feet = rbd.ee_positions(model, q_)
+            if contact_sync:
+                # early-touchdown schedule sync (MPC::AdjustForCurrentContacts,
+                # mpc/mpc.cpp:1195-1203), as the MuJoCo loop does per MPC
+                # step.  Off by default: with penalty-ground contact the
+                # threshold fires mid-dip and the snapped bounds can
+                # degenerate the QP (observed: solver never recovers)
+                mc_ = feet[:, 2] < sim.foot_radius + 0.002
+                sched2 = gait_mod.adjust_for_current_contacts(
+                    st_.traj.sched, mc_, t)
+                st_ = dataclasses.replace(
+                    st_, traj=dataclasses.replace(st_.traj, sched=sched2))
             st2, stats = solver_mod.solve_step(cfg, params, st_, x_srb, t,
                                                feet, x_des_tan)
             if gait_opt_every > 0:

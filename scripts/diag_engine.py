@@ -1,0 +1,82 @@
+"""On-device closed-loop telemetry probe: big-cfg trot with per-tick
+z / xy / torque / MPC-status traces.
+
+This is the instrument that produced the penalty-engine stability
+forensics in docs/DESIGN.md ("Penalty-engine closed-loop stability").
+Knobs via env vars: CONTACT_DAMP (WBQP foot-velocity damping), GAIN_SCALE
+(torso PD scale), TORQUE_BOUND, CONTACT_KP/CONTACT_KD/TVREG/SUBSTEPS
+(ground model).
+
+Usage: [ENV=...] python scripts/diag_engine.py [n_ticks]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
+from bilevel_gait_gen_tpu.control import wbqp
+from bilevel_gait_gen_tpu.models import a1, rbd, srb
+from bilevel_gait_gen_tpu.mpc import gait, solver
+from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
+from bilevel_gait_gen_tpu.sim import engine
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+n_ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+control_dt = 0.001
+mpc_every = 50
+dtype = jnp.float32
+cfg = MPCConfig(ipm_iters=18).validate()
+damp = float(os.environ.get("CONTACT_DAMP", "0"))
+gs = float(os.environ.get("GAIN_SCALE", "1"))       # torso PD gain scale
+tb = float(os.environ.get("TORQUE_BOUND", "30"))
+wb_cfg = wbqp.WBQPConfig(contact_damp=damp, torque_bound=tb,
+                         kp_base_pos=9000.0 * gs, kd_base_pos=3000.0 * gs,
+                         kp_base_ang=1000.0 * gs, kd_base_ang=100.0 * gs)
+sim = engine.SimConfig(substeps=int(os.environ.get("SUBSTEPS", "1")),
+                       contact_kp=float(os.environ.get("CONTACT_KP", "12000")),
+                       contact_kd=float(os.environ.get("CONTACT_KD", "120")),
+                       tangent_vel_reg=float(os.environ.get("TVREG", "0.05")))
+print(f"damp={damp} sim={sim}")
+
+model = a1.make_a1()
+q0_np = np.asarray(a1.stand_config(), np.float64)
+feet_z0 = rbd.ee_positions(model, jnp.asarray(q0_np, dtype))[:, 2]
+pen_eq = float(model.total_mass) * 9.81 / (4 * sim.contact_kp)
+q0_np[2] -= float(jnp.max(feet_z0)) - sim.foot_radius + pen_eq
+q0 = jnp.asarray(q0_np, dtype)
+params = srb.make_srb_params(model, q0)
+x0 = jnp.zeros(13, dtype).at[2].set(float(q0_np[2])).at[9].set(1.0)
+feet0 = rbd.ee_positions(model, q0).astype(dtype)
+traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
+st = solver.SolverState(traj=traj, ee_box=jnp.asarray(cfg.ee_box_size, dtype))
+x_des = srb.manifold_to_tangent(x0)
+
+st, stats = jax.jit(lambda s, x, e: solver.create_initial_run(
+    cfg, params, s, x, e, x_des))(st, x0, feet0)
+print(f"initial: solved={bool(stats.solved)} defect={float(stats.defect_l1):.2e}")
+
+run = jax.jit(lambda s, q, v: engine.closed_loop(
+    model, params, cfg, wb_cfg, sim, s, q, v, x_des,
+    n_ticks=n_ticks, control_dt=control_dt, mpc_every=mpc_every))
+st_out, log = run(st, q0, jnp.zeros(model.nv, dtype))
+jax.block_until_ready(log.q)
+
+q = np.asarray(log.q)
+tau = np.asarray(log.tau)
+solved = np.asarray(log.solved)
+cost = np.asarray(log.cost)
+mpc_ticks = np.arange(0, n_ticks, mpc_every)
+print("MPC ticks: solved =", solved[mpc_ticks].astype(int).tolist())
+print("cost      =", [f"{c:.0f}" for c in cost[mpc_ticks]])
+for k in range(0, n_ticks, 100):
+    print(f"t={k*control_dt:.2f} z={q[k,2]:.3f} xy=({q[k,0]:+.3f},{q[k,1]:+.3f})"
+          f" |tau|max={np.abs(tau[k]).max():.1f}")
+print(f"final z={q[-1,2]:.3f}")
