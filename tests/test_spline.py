@@ -214,3 +214,30 @@ def test_adjust_for_current_contacts():
                                               jnp.array(0.35))
     np.testing.assert_allclose(np.asarray(sched3.bounds[1]),
                                np.asarray(sched.bounds[1]))
+
+
+def test_total_support_force_zero_at_phase_boundaries():
+    """Characterization: spline forces are structurally pinned to zero at
+    every contact-phase boundary (reference semantics: boundary nodes are
+    never decision variables, splines_tests.cpp force contracts).  For the
+    default trot BOTH diagonal pairs hit a boundary at the same instant, so
+    the planned total support force passes through zero every phase — the
+    root cause of the penalty-engine hop/sag cycle (docs/DESIGN.md,
+    "Penalty-engine closed-loop stability").  A standing schedule has the
+    same instants at its stance-slot boundaries (2*d, 4*d, ...)."""
+    rng = np.random.default_rng(7)
+    f_nodes, _ = make_vars(rng)
+    F = CFG.num_force_polys
+
+    trot = gait.make_trot(CFG)
+    for t in [0.0, 0.3, 0.6]:          # trot phase boundaries (all EEs)
+        f = spline.forces_all(trot.bounds, f_nodes, jnp.asarray(t), F)
+        np.testing.assert_allclose(np.asarray(f), 0.0, atol=1e-12)
+    # mid-phase the stance pair carries force
+    f_mid = spline.forces_all(trot.bounds, f_nodes, jnp.asarray(0.15), F)
+    assert np.any(np.abs(np.asarray(f_mid)) > 1e-3)
+
+    standing = gait.make_standing(CFG)
+    d2 = 2.0 * CFG.phase_duration      # stance-slot length in make_standing
+    f0 = spline.forces_all(standing.bounds, f_nodes, jnp.asarray(d2), F)
+    np.testing.assert_allclose(np.asarray(f0), 0.0, atol=1e-12)
