@@ -20,3 +20,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@__import__("pytest").fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Cap suite memory: one pytest process accumulates every module's XLA
+    executables (the closed-loop scans are hundreds of MB each compiled in
+    x64); the full suite has been seen dying with MemoryError late in the
+    run.  Dropping compile caches after each module bounds the peak at the
+    cost of a few recompiles."""
+    yield
+    jax.clear_caches()
