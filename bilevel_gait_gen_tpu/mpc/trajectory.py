@@ -51,9 +51,9 @@ def default_trajectory(cfg: MPCConfig, sched: GaitSchedule,
                        x0_man: jax.Array,
                        ee_xy: jax.Array) -> Trajectory:
     """Initial warm start: constant state, footholds at the current feet,
-    forces supporting weight/num_ee at interior nodes (the reference warm
-    start sets states constant and leaves splines zero; a gravity-supporting
-    force guess conditions the first QP much better)."""
+    force nodes zero (the reference warm start sets states constant and
+    leaves splines zero too, mpc/mpc.cpp:700-728; `create_initial_run`'s
+    SQP iterations then fill in gravity-supporting forces)."""
     E, S, F = cfg.num_ee, cfg.num_stance_slots, cfg.num_force_polys
     dtype = x0_man.dtype
     x_man = jnp.tile(x0_man[None, :], (cfg.num_nodes + 1, 1))

@@ -177,7 +177,8 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
         g_active = jnp.any(G != 0, axis=-1)
         m_act = jnp.maximum(jnp.sum(g_active), 1).astype(x.dtype)
         gap = jnp.dot(s, lam) / m_act
-        pri = jnp.max(jnp.abs(A @ x - b))
+        pri = (jnp.max(jnp.abs(A @ x - b)) if b.shape[-1] > 0
+               else jnp.zeros((), x.dtype))
         r_g = G @ x + s - h
         pri = jnp.maximum(pri, jnp.max(jnp.abs(jnp.where(g_active, r_g, 0.0))))
         dua = jnp.max(jnp.abs(H @ x + q + A.T @ y + G.T @ lam))

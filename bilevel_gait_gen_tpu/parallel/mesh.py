@@ -56,8 +56,14 @@ def batched_solve_step(cfg: MPCConfig, params: SRBParams):
 
 
 def batched_initial_run(cfg: MPCConfig, params: SRBParams):
-    def run(state, x0, ee0, x_des):
+    def run(state, x0, ee0, x_des, t0):
         return solver_mod.create_initial_run(cfg, params, state, x0, ee0,
-                                             x_des)
+                                             x_des, t0)
 
-    return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, None)))
+    vrun = jax.vmap(run, in_axes=(0, 0, 0, None, None))
+
+    @jax.jit
+    def batched(states, x0s, ee0s, x_des, t0=0.0):
+        return vrun(states, x0s, ee0s, x_des, jnp.asarray(t0))
+
+    return batched

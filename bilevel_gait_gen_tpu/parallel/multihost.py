@@ -28,9 +28,14 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR")
     if coordinator is None:
         return False  # single-process
-    num_processes = int(num_processes
-                        or os.environ.get("JAX_NUM_PROCESSES", "1"))
-    process_id = int(process_id or os.environ.get("JAX_PROCESS_ID", "0"))
+    # `is None` (not falsy-or): an explicit process_id=0 must not be
+    # silently overridden by the environment
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    num_processes = int(num_processes)
+    process_id = int(process_id)
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
