@@ -4,6 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star (BASELINE.md): >= 1000 batched A1 bilevel MPC solves/s
 on a v5p-16 at N=20, per-solve latency under the 50 ms real-time budget.
 vs_baseline = solves/s/chip / 1000.
+
+"Bilevel" is measured honestly: the timed loop interleaves one full
+gait-optimization update (QP gradient through the IFT custom-VJP +
+projection QP + ls_alphas-wide line search of full MPC solves) every
+`gait_opt_freq` inner real-time iterations — the reference's cadence in
+MPCController::MPCUpdate (controllers/mpc_controller.cpp:286-399).  The
+throughput counts the inner RTI solves delivered per second *including*
+the amortized outer-loop cost; the pure inner-RTI rate is also reported.
 """
 import json
 import os
@@ -35,11 +43,15 @@ from bilevel_gait_gen_tpu.utils.config import MPCConfig
 
 def main():
     BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+    # one outer gait-opt update per this many inner RTIs (the reference's
+    # gait_opt_freq cadence, controllers/mpc_controller.cpp:286-399)
+    GAIT_OPT_FREQ = int(os.environ.get("BENCH_GAIT_OPT_FREQ", "10"))
     # warm-started real-time iterations need ~10 IPM sweeps (measured: same
     # solution quality as 18 cold sweeps at half the cost)
     cfg = MPCConfig(
         ipm_iters=10,
         ipm_exact_every=int(os.environ.get("BENCH_EXACT_EVERY", "3")),
+        qp_kernel=os.environ.get("BENCH_QP_KERNEL", "xla"),
     ).validate()   # N=20, dt=0.05 (walk config)
     dtype = jnp.float32
 
@@ -61,23 +73,42 @@ def main():
     feets = jnp.stack([feet0] * BATCH)
 
     step = mesh_mod.batched_solve_step(cfg, params)
+    gait_step = mesh_mod.batched_gait_opt_update(cfg, params)
     t0 = jnp.asarray(0.0, dtype)
 
-    # warm up / compile
+    # warm up / compile both phases
     states2, stats = step(states, x0s, t0, feets, x_des)
     jax.block_until_ready(stats.cost)
+    gres = gait_step(states2, x0s, t0, feets, x_des)
+    jax.block_until_ready(gres.cost)
+    states2 = gres.state
 
-    # measure steady-state throughput (warm-started RTI, like production)
+    # ---- inner-RTI throughput (steady-state warm-started, like production)
     n_rep = 10
     t_start = time.perf_counter()
     for _ in range(n_rep):
         states2, stats = step(states2, x0s, t0, feets, x_des)
     jax.block_until_ready(stats.cost)
-    elapsed = time.perf_counter() - t_start
-    solves_per_s = BATCH * n_rep / elapsed
-    latency_ms = elapsed / n_rep * 1e3
+    elapsed_rti = time.perf_counter() - t_start
+    rti_per_s = BATCH * n_rep / elapsed_rti
+    latency_ms = elapsed_rti / n_rep * 1e3
 
-    # single-robot real-time latency (one RTI, batch of 1)
+    # ---- amortized bilevel throughput: the real controller cadence -------
+    n_cycles = 3
+    t_start = time.perf_counter()
+    for _ in range(n_cycles):
+        for _ in range(GAIT_OPT_FREQ - 1):
+            states2, stats = step(states2, x0s, t0, feets, x_des)
+        gres = gait_step(states2, x0s, t0, feets, x_des)
+        states2 = gres.state
+    jax.block_until_ready(gres.cost)
+    elapsed_bi = time.perf_counter() - t_start
+    # solves delivered: the line-search lanes are internal cost, not output
+    bilevel_per_s = BATCH * n_cycles * GAIT_OPT_FREQ / elapsed_bi
+    gait_opt_ms = (elapsed_bi / n_cycles - (GAIT_OPT_FREQ - 1)
+                   * elapsed_rti / n_rep) * 1e3
+
+    # ---- single-robot real-time latency (one RTI, batch of 1) ------------
     from bilevel_gait_gen_tpu.mpc import solver as solver_mod
     step1 = jax.jit(lambda st, x, ee: solver_mod.solve_step(
         cfg, params, st, x, jnp.asarray(0.0, dtype), ee, x_des))
@@ -94,15 +125,19 @@ def main():
     ok = bool(np.all(np.asarray(stats.solved)))
     result = {
         "metric": "bilevel_mpc_solves_per_s_per_chip_N20",
-        "value": round(float(solves_per_s), 1),
+        "value": round(float(bilevel_per_s), 1),
         "unit": "solves/s/chip",
-        "vs_baseline": round(float(solves_per_s) / 1000.0, 3),
+        "vs_baseline": round(float(bilevel_per_s) / 1000.0, 3),
         "batch": BATCH,
+        "gait_opt_freq": GAIT_OPT_FREQ,
+        "inner_rti_solves_per_s": round(float(rti_per_s), 1),
+        "gait_opt_update_ms": round(gait_opt_ms, 2),
         "batch_latency_ms": round(latency_ms, 2),
         "single_solve_p99_ms": round(p99, 2),
         "rt_budget_ms": 50.0,
         "all_solved": ok,
         "solved_frac": round(float(np.asarray(stats.solved).mean()), 4),
+        "gait_opt_alpha_mean": round(float(np.asarray(gres.alpha).mean()), 4),
     }
     print(json.dumps(result))
 

@@ -138,6 +138,11 @@ class GaitOptResult(NamedTuple):
     alpha: jax.Array
     cost: jax.Array
     grad_norm: jax.Array
+    # trust-region bookkeeping (gait_optimizer.cpp:199-211,568-579); filled
+    # by gait_opt_update, neutral when line_search is called standalone
+    cost0: jax.Array = 0.0       # cost of the alpha=0 lane
+    trust: jax.Array = 0.0       # updated radius for the next outer step
+    accepted: jax.Array = True   # step passed the ratio test
 
 
 def line_search(cfg: MPCConfig, params: SRBParams,
@@ -175,19 +180,74 @@ def line_search(cfg: MPCConfig, params: SRBParams,
         lambda a, b_: jnp.where(any_ok, a, b_), new_state, state)
     return GaitOptResult(state=new_state, alpha=alphas[best] * any_ok,
                          cost=jnp.where(any_ok, costs[best], jnp.inf),
-                         grad_norm=jnp.linalg.norm(step))
+                         grad_norm=jnp.linalg.norm(step),
+                         cost0=costs[0])
 
 
 def gait_opt_update(cfg: MPCConfig, params: SRBParams,
                     state: solver_mod.SolverState, x0_man: jax.Array,
                     t0: jax.Array, ee_pos0: jax.Array,
-                    x_des_tan: jax.Array) -> GaitOptResult:
-    """One full bilevel update: gradient -> projection QP -> line search.
+                    x_des_tan: jax.Array,
+                    trust: jax.Array | float | None = None) -> GaitOptResult:
+    """One full bilevel update: gradient -> projection QP -> line search ->
+    trust-region acceptance.
 
     Reference cadence: MPCController::GaitOpt phases (b)+(c)
-    (controllers/mpc_controller.cpp:518-573).
+    (controllers/mpc_controller.cpp:518-573).  Acceptance mirrors the
+    reference's predicted-vs-actual cost-reduction ratio test with radius
+    adaptation (gait_optimizer.cpp:199-211,355,568-579): with Bk = 0 the
+    model reduction of the step alpha*d is -alpha*g.d; a step whose actual
+    reduction falls below tr_eta_low of that is rejected (the alpha=0 lane's
+    state is kept) and the radius shrinks; strong agreement grows it.
+
+    Pass the returned ``trust`` back in as the next call's ``trust`` to run
+    the adaptive loop; omit it for a stateless fixed-radius update.
     """
+    dtype = x0_man.dtype
+    trust_in = jnp.asarray(cfg.trust_region if trust is None else trust,
+                           dtype)
     g = outer_gradient(cfg, params, state.traj, x0_man, t0, ee_pos0,
                        x_des_tan, state.ee_box)
-    d = contact_time_step(cfg, state.traj.sched, g, t0)
-    return line_search(cfg, params, state, d, x0_man, t0, ee_pos0, x_des_tan)
+    # derivative quality gate (the reference only consumes QP derivatives
+    # from a successful solve, mpc/mpc.cpp:1047-1056): a non-finite
+    # gradient zeroes the step, which the ratio test then rejects
+    g = jnp.where(jnp.all(jnp.isfinite(g)), g, jnp.zeros_like(g))
+    d = contact_time_step(cfg, state.traj.sched, g, t0, trust=trust_in)
+    res = line_search(cfg, params, state, d, x0_man, t0, ee_pos0, x_des_tan)
+
+    # ---- ratio test (predicted reduction of the linear model, Bk = 0) ----
+    # the projection QP normalizes g to unit inf-norm before stepping; use
+    # the same scaling so predicted and actual reductions are comparable
+    g_n = g / jnp.maximum(1.0, jnp.max(jnp.abs(g)))
+    pred = -res.alpha * jnp.sum(g_n * d)          # > 0 for a descent step
+    actual = res.cost0 - res.cost                 # argmin => >= 0 if lane0 ok
+    tiny = jnp.asarray(100 * jnp.finfo(dtype).eps, dtype)
+    ratio = actual / jnp.maximum(pred, tiny)
+    took_step = (res.alpha > 0) & jnp.isfinite(res.cost)
+    accepted = took_step & (pred > tiny) & (ratio >= cfg.tr_eta_low)
+
+    # reject: keep the gait of the alpha=0 lane (= an ordinary RTI solve at
+    # the unchanged contact times) when it solved, else the prior state
+    lane0_ok = jnp.isfinite(res.cost0)
+
+    def pick(acc_leaf, rej_leaf):
+        return jnp.where(accepted, acc_leaf, rej_leaf)
+
+    # re-run of lane 0 is free: line_search keeps only the argmin state, so
+    # rebuild the rejected state as "current bounds, fresh warm start kept"
+    rej_state = solver_mod.SolverState(traj=state.traj, ee_box=state.ee_box,
+                                       qp_warm=state.qp_warm)
+    new_state = jax.tree.map(pick, res.state, rej_state)
+
+    grow = accepted & (ratio >= cfg.tr_eta_high)
+    trust_new = jnp.where(
+        grow, jnp.minimum(trust_in * cfg.tr_grow, cfg.trust_region),
+        jnp.where(accepted, trust_in,
+                  jnp.maximum(trust_in * cfg.tr_shrink, cfg.tr_min)))
+    return GaitOptResult(
+        state=new_state,
+        alpha=jnp.where(accepted, res.alpha, 0.0),
+        cost=jnp.where(accepted, res.cost,
+                       jnp.where(lane0_ok, res.cost0, jnp.inf)),
+        grad_norm=res.grad_norm, cost0=res.cost0, trust=trust_new,
+        accepted=accepted)

@@ -113,10 +113,20 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
     # Newton-Schulz inverse tracking is only stable in the warm-started
     # regime (slow W drift); cold-start solves use exact factorizations
     exact_every = cfg.ipm_exact_every if state.qp_warm is not None else 1
-    sol = pdip.solve(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h,
-                     iters=cfg.ipm_iters, tol=cfg.ipm_tol,
-                     exact_every=exact_every,
-                     warm=state.qp_warm)
+    if cfg.qp_backend == "admm":
+        # OSQP-style backend (the reference's solver switch, mpc/mpc.cpp:
+        # 49,71); warm starts carry the previous QPSolution across steps
+        from bilevel_gait_gen_tpu.ops import admm as admm_mod
+        sol = admm_mod.solve_onesided(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h,
+                                      iters=cfg.admm_iters, tol=cfg.ipm_tol,
+                                      warm=state.qp_warm)
+    else:
+        sol = pdip.solve(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h,
+                         iters=cfg.ipm_iters, tol=cfg.ipm_tol,
+                         exact_every=exact_every,
+                         use_pallas=None if cfg.qp_kernel == "pallas"
+                         else False,
+                         warm=state.qp_warm)
 
     u_prev = ravel_u(traj.f_nodes, traj.footholds)
     xs_prev = jax.vmap(srb.manifold_to_tangent)(traj.x_man)

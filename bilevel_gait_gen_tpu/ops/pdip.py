@@ -111,14 +111,35 @@ def _ns_refresh(X, M, steps: int = 2):
     return X
 
 
+def _mv(M, v):
+    """Matrix-vector product via a rank-2 dot.
+
+    Semantically `M @ v`, but keeps both dot operands 2-D: the Mosaic
+    (Pallas TPU) lowering rejects rank-1 `dot_general`, and the shared
+    iteration math (`_iteration_math`) runs both under XLA and inside the
+    fused kernel.  XLA canonicalizes this to the same GEMV.
+    """
+    return (M @ v[:, None])[:, 0]
+
+
+def _vtm(v, M):
+    """`M.T @ v` without materializing the transpose.
+
+    Inside the fused kernel a transposed [m, n] constraint matrix would
+    cost an extra ~1.3 MB VMEM relayout per use; `v^T M` contracts the
+    same axis with M in its stored layout.
+    """
+    return (v[None, :] @ M)[0]
+
+
 def _kkt_solve(Mi, A, Si, r1, r2):
     """Solve [[M, A^T], [A, 0]] [dx, dy] = [r1, r2] given M^{-1}, S^{-1}.
 
     S = A M^{-1} A^T (+ reg).  Standard block elimination, all matmuls.
     """
-    Mi_r1 = Mi @ r1
-    dy = Si @ (A @ Mi_r1 - r2)
-    dx = Mi_r1 - Mi @ (A.T @ dy)
+    Mi_r1 = _mv(Mi, r1)
+    dy = _mv(Si, _mv(A, Mi_r1) - r2)
+    dx = Mi_r1 - _mv(Mi, _vtm(dy, A))
     return dx, dy
 
 
@@ -128,18 +149,123 @@ def _refine(Mi, A, Si, M, r1, r2, dx, dy, steps: int = 1):
     solve accuracy; the reference runs Clarabel at 1e-15 gap for the same
     reason, a1_configuration.yaml:189-200)."""
     for _ in range(steps):
-        e1 = r1 - (M @ dx + A.T @ dy)
-        e2 = r2 - A @ dx
+        e1 = r1 - (_mv(M, dx) + _vtm(dy, A))
+        e2 = r2 - _mv(A, dx)
         cx, cy = _kkt_solve(Mi, A, Si, e1, e2)
         dx = dx + cx
         dy = dy + cy
     return dx, dy
 
 
+def _iteration_math(H, q, A, b, G, h, g_active, x, y, lam, s, done, it, best,
+                    M, Mi, *, reg, tol, refine_steps, chol_inverse_fn):
+    """One full IPM iteration AFTER the reduced-matrix inverse Mi is known.
+
+    Shared verbatim between the XLA path and the fused Pallas kernel
+    (ops/pallas_kernels.py::ipm_iter) so the two are numerically equivalent
+    by construction.  Everything here is VPU elementwise + small matvecs.
+    """
+    dtype = q.dtype
+    eps = float(jnp.finfo(dtype).eps)
+    w_hi = 0.01 / eps
+    m = h.shape[-1]
+    p = b.shape[-1]
+    m_act = jnp.maximum(jnp.sum(g_active), 1).astype(dtype)
+    W = jnp.clip(lam / s, 1.0 / w_hi, w_hi)
+
+    # S = (A Mi) A^T via a last-axis contraction: Mi is symmetric, and this
+    # form needs no [n, n] or [m, n] transpose in VMEM
+    AMi = A @ Mi
+    S_mat = jax.lax.dot_general(AMi, A, (((1,), (1,)), ((), ()))) \
+        + jnp.maximum(reg, 1e-7) * jnp.eye(p, dtype=dtype)
+    Si = chol_inverse_fn(S_mat)
+
+    r_d = _mv(H, x) + q + _vtm(y, A) + _vtm(lam, G)     # dual residual
+    r_p = _mv(A, x) - b                             # eq primal residual
+    r_g = _mv(G, x) + s - h                         # ineq primal residual
+    mu = jnp.sum(s * lam) / m_act
+
+    def solve_dir(sigma_mu, ds_extra):
+        # eliminate (ds, dlam):  ds = -r_g - G dx
+        # dlam = (sigma*mu - lam*ds_extra)/s - lam - W*ds
+        rhs_c = (sigma_mu - lam * ds_extra) / s     # [m]
+        r1 = -(r_d + _vtm(rhs_c - lam + W * r_g, G))
+        r2 = -r_p
+        dx, dy = _kkt_solve(Mi, A, Si, r1, r2)
+        dx, dy = _refine(Mi, A, Si, M, r1, r2, dx, dy, refine_steps)
+        ds = -r_g - _mv(G, dx)
+        dlam = rhs_c - lam - W * ds
+        return dx, dy, ds, dlam
+
+    # predictor (affine)
+    dx_a, dy_a, ds_a, dl_a = solve_dir(jnp.zeros((), dtype),
+                                       jnp.zeros(m, dtype))
+
+    def max_step(v, dv):
+        ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+        return jnp.minimum(1.0, jnp.min(ratio))
+
+    a_p = max_step(s, ds_a)
+    a_d = max_step(lam, dl_a)
+    mu_aff = jnp.sum((s + a_p * ds_a) * (lam + a_d * dl_a)) / m_act
+    sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+    # corrector
+    dx_c, dy_c, ds_c, dl_c = solve_dir(sigma * mu, ds_a * dl_a)
+
+    frac = jnp.asarray(0.99, dtype)
+    a_p = frac * max_step(s, ds_c)
+    a_d = frac * max_step(lam, dl_c)
+
+    scale = 1.0 + jnp.max(jnp.abs(q))
+    mu_floor = jnp.asarray(100.0, dtype) * jnp.finfo(dtype).eps * scale
+    conv = ((mu < jnp.maximum(tol * scale, mu_floor))
+            & (jnp.max(jnp.abs(r_p)) < 1e3 * tol * scale)
+            & (jnp.max(jnp.abs(r_d)) < 1e3 * tol * scale))
+    # reject non-finite steps (blown-up Cholesky): freeze at the last
+    # good iterate rather than poisoning the solution
+    step_ok = (jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dy_c))
+               & jnp.all(jnp.isfinite(ds_c)) & jnp.all(jnp.isfinite(dl_c)))
+    new_done = done | conv
+    take = ~(new_done | ~step_ok)
+
+    # best-iterate tracking: late IPM iterations can wander once mu
+    # drops below the regularization floor; always return the iterate
+    # with the lowest KKT merit (gap + primal + dual residuals).
+    merit = (mu + jnp.max(jnp.abs(r_p)) / scale
+             + jnp.max(jnp.abs(r_d)) / scale)
+    bx, by, blam, bs, bmerit = best
+    improved = (merit < bmerit) & jnp.all(jnp.isfinite(merit))
+    best = (jnp.where(improved, x, bx), jnp.where(improved, y, by),
+            jnp.where(improved, lam, blam), jnp.where(improved, s, bs),
+            jnp.where(improved, merit, bmerit))
+
+    # jnp.where (not a 0/1 multiplier): 0 * NaN = NaN would poison the
+    # iterate whenever a step is rejected for a blown-up factorization
+    x = jnp.where(take, x + a_p * dx_c, x)
+    y = jnp.where(take, y + a_d * dy_c, y)
+    s = jnp.where(take, jnp.maximum(s + a_p * ds_c, 1e-30), s)
+    lam = jnp.where(take, jnp.maximum(lam + a_d * dl_c, 1e-30), lam)
+    it = it + jnp.where(new_done, 0, 1)
+    return x, y, lam, s, new_done, it, best
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _use_pallas_auto(dtype, n: int) -> bool:
+    """Engage the fused Pallas path for production-sized f32 problems on
+    TPU; small QPs (WBQP, projection QP) and f64 test runs stay on XLA."""
+    return (dtype == jnp.float32 and n >= 64
+            and jax.default_backend() in ("tpu", "axon"))
+
+
 def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
           G: jax.Array, h: jax.Array, *, iters: int = 25,
           tol: float = 1e-9, reg: float = 1e-8,
           refine_steps: int = 1, exact_every: int = 1, ns_steps: int = 2,
+          use_pallas: bool | None = None,
           warm: QPSolution | None = None) -> QPSolution:
     """Mehrotra predictor-corrector interior point, fixed ``iters`` sweeps.
 
@@ -152,6 +278,8 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
     f32 path with bf16x6 passes keeps the MXU while preserving ~f32
     accuracy (and iterative refinement recovers the rest).
     """
+    if use_pallas is None:
+        use_pallas = _use_pallas_auto(q.dtype, q.shape[-1])
     with jax.default_matmul_precision("highest"):
         Hs, qs, As, bs, Gs, hs, d, e_a, e_g = _equilibrate(H, q, A, b, G, h)
         warm_s = None
@@ -168,7 +296,8 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
                       jnp.maximum(warm.s * e_g, 1e-3), warm_ok)
         sol = _solve_impl(Hs, qs, As, bs, Gs, hs, iters=iters, tol=tol,
                           reg=reg, refine_steps=refine_steps, warm=warm_s,
-                          exact_every=exact_every, ns_steps=ns_steps)
+                          exact_every=exact_every, ns_steps=ns_steps,
+                          use_pallas=use_pallas)
         x = d * sol.x
         y = e_a * sol.y
         lam = e_g * sol.lam
@@ -187,7 +316,8 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
 
 
 def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
-                warm=None, exact_every: int = 1, ns_steps: int = 2):
+                warm=None, exact_every: int = 1, ns_steps: int = 2,
+                use_pallas: bool = False):
     # dtype-aware floors: f32 needs ~50*eps regularization and a tighter
     # complementarity-ratio clamp to keep the Cholesky finite
     eps = float(jnp.finfo(q.dtype).eps)
@@ -197,6 +327,30 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
     m = h.shape[-1]
     p = b.shape[-1]
     dtype = q.dtype
+
+    n_real, m_real = n, m
+    if use_pallas:
+        # pad to MXU/VPU-friendly shapes (lane dim multiples of 128).  The
+        # padded rows follow the masked-row convention the solver already
+        # supports: zero G rows with h=1 (slack rests at 1, dual decays),
+        # unit H diagonal on padded variables (x stays 0 there).
+        n_p = _round_up(n, 128)
+        m_p = _round_up(max(m, 8), 128)
+        if (n_p, m_p) != (n, m):
+            H = jnp.pad(H, ((0, n_p - n), (0, n_p - n)))
+            H = H + jnp.diag(jnp.concatenate(
+                [jnp.zeros(n, dtype), jnp.ones(n_p - n, dtype)]))
+            q = jnp.pad(q, (0, n_p - n))
+            A = jnp.pad(A, ((0, 0), (0, n_p - n)))
+            G = jnp.pad(G, ((0, m_p - m), (0, n_p - n)))
+            h = jnp.pad(h, (0, m_p - m), constant_values=1.0)
+            if warm is not None:
+                wx, wy, wlam, ws, warm_ok = warm
+                warm = (jnp.pad(wx, (0, n_p - n)), wy,
+                        jnp.pad(wlam, (0, m_p - m), constant_values=1e-6),
+                        jnp.pad(ws, (0, m_p - m), constant_values=1.0),
+                        warm_ok)
+            n, m = n_p, m_p
 
     # detect masked inequality rows so they don't pollute the residual norms
     g_active = jnp.any(G != 0, axis=-1)
@@ -226,13 +380,10 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
         lam = jnp.where(warm_ok, wlam, lam)
         s = jnp.where(warm_ok, ws, s)
 
+    g_active_f = g_active.astype(dtype)
+
     def body(carry, i):
         x, y, lam, s, done, it, best, Mi_prev = carry
-
-        # clamped scaling guards the Cholesky against extreme final iterates
-        W = jnp.clip(lam / s, 1.0 / w_hi, w_hi)         # [m]
-        Gw = G * W[:, None]
-        M = H + G.T @ Gw + reg * jnp.eye(n, dtype=dtype)
         # inverse tracking: exact Cholesky inverse on a fixed cadence,
         # Newton-Schulz GEMM updates in between (the predicate depends only
         # on the scan counter, so it stays a real branch under vmap and the
@@ -243,81 +394,42 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
         # the non-finite step rejection + solve-quality gate.
         # exact during the first iterations (W swings violently from any
         # cold-ish start) and on the cadence after
+        exact = (i < 2) | (i % exact_every == 0)
+
+        if use_pallas:
+            # the Pallas kernel fuses M-formation, the NS refresh, and the
+            # whole iteration in VMEM; XLA only contributes the exact
+            # Cholesky refresh (batched custom call beats a sequential
+            # in-kernel factorization)
+            from bilevel_gait_gen_tpu.ops import pallas_kernels as pk
+
+            def exact_mi(_):
+                W = jnp.clip(lam / s, 1.0 / w_hi, w_hi)
+                M = H + G.T @ (G * W[:, None]) + reg * jnp.eye(n, dtype=dtype)
+                return _chol_inverse(M)
+
+            Mi_in = jax.lax.cond(exact, exact_mi, lambda _: Mi_prev, None)
+            do_ns = jnp.where(exact, jnp.zeros((), dtype),
+                              jnp.ones((), dtype))
+            x, y, lam, s, new_done, it, best, Mi = pk.ipm_iter(
+                H, q, A, b, G, h, g_active_f, x, y, lam, s, done, it, best,
+                Mi_in, do_ns, reg=reg, tol=tol, refine_steps=refine_steps,
+                ns_steps=ns_steps)
+            return (x, y, lam, s, new_done, it, best, Mi), None
+
+        # clamped scaling guards the Cholesky against extreme final iterates
+        W = jnp.clip(lam / s, 1.0 / w_hi, w_hi)         # [m]
+        Gw = G * W[:, None]
+        M = H + G.T @ Gw + reg * jnp.eye(n, dtype=dtype)
         Mi = jax.lax.cond(
-            (i < 2) | (i % exact_every == 0),
+            exact,
             lambda op: _chol_inverse(op[0]),
             lambda op: _ns_refresh(op[1], op[0], ns_steps),
             (M, Mi_prev))
-        S_mat = A @ (Mi @ A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(
-            p, dtype=dtype)
-        Si = _chol_inverse(S_mat)
-
-        r_d = H @ x + q + A.T @ y + G.T @ lam           # dual residual
-        r_p = A @ x - b                                 # eq primal residual
-        r_g = G @ x + s - h                             # ineq primal residual
-        mu = jnp.dot(s, lam) / m_act
-
-        def solve_dir(sigma_mu, ds_extra):
-            # eliminate (ds, dlam):  ds = -r_g - G dx
-            # dlam = (sigma*mu - lam*ds_extra)/s - lam - W*ds
-            rhs_c = (sigma_mu - lam * ds_extra) / s     # [m]
-            r1 = -(r_d + G.T @ (rhs_c - lam + W * r_g))
-            r2 = -r_p
-            dx, dy = _kkt_solve(Mi, A, Si, r1, r2)
-            dx, dy = _refine(Mi, A, Si, M, r1, r2, dx, dy, refine_steps)
-            ds = -r_g - G @ dx
-            dlam = rhs_c - lam - W * ds
-            return dx, dy, ds, dlam
-
-        # predictor (affine)
-        dx_a, dy_a, ds_a, dl_a = solve_dir(jnp.zeros((), dtype), jnp.zeros(m, dtype))
-
-        def max_step(v, dv):
-            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
-            return jnp.minimum(1.0, jnp.min(ratio))
-
-        a_p = max_step(s, ds_a)
-        a_d = max_step(lam, dl_a)
-        mu_aff = jnp.dot(s + a_p * ds_a, lam + a_d * dl_a) / m_act
-        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
-
-        # corrector
-        dx_c, dy_c, ds_c, dl_c = solve_dir(sigma * mu, ds_a * dl_a)
-
-        frac = jnp.asarray(0.99, dtype)
-        a_p = frac * max_step(s, ds_c)
-        a_d = frac * max_step(lam, dl_c)
-
-        scale = 1.0 + jnp.max(jnp.abs(q))
-        mu_floor = jnp.asarray(100.0, dtype) * jnp.finfo(dtype).eps * scale
-        conv = ((mu < jnp.maximum(tol * scale, mu_floor))
-                & (jnp.max(jnp.abs(r_p)) < 1e3 * tol * scale)
-                & (jnp.max(jnp.abs(r_d)) < 1e3 * tol * scale))
-        # reject non-finite steps (blown-up Cholesky): freeze at the last
-        # good iterate rather than poisoning the solution
-        step_ok = (jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dy_c))
-                   & jnp.all(jnp.isfinite(ds_c)) & jnp.all(jnp.isfinite(dl_c)))
-        new_done = done | conv
-        take = ~(new_done | ~step_ok)
-
-        # best-iterate tracking: late IPM iterations can wander once mu
-        # drops below the regularization floor; always return the iterate
-        # with the lowest KKT merit (gap + primal + dual residuals).
-        merit = (mu + jnp.max(jnp.abs(r_p)) / scale
-                 + jnp.max(jnp.abs(r_d)) / scale)
-        bx, by, blam, bs, bmerit = best
-        improved = (merit < bmerit) & jnp.all(jnp.isfinite(merit))
-        best = (jnp.where(improved, x, bx), jnp.where(improved, y, by),
-                jnp.where(improved, lam, blam), jnp.where(improved, s, bs),
-                jnp.where(improved, merit, bmerit))
-
-        # jnp.where (not a 0/1 multiplier): 0 * NaN = NaN would poison the
-        # iterate whenever a step is rejected for a blown-up factorization
-        x = jnp.where(take, x + a_p * dx_c, x)
-        y = jnp.where(take, y + a_d * dy_c, y)
-        s = jnp.where(take, jnp.maximum(s + a_p * ds_c, 1e-30), s)
-        lam = jnp.where(take, jnp.maximum(lam + a_d * dl_c, 1e-30), lam)
-        it = it + jnp.where(new_done, 0, 1)
+        x, y, lam, s, new_done, it, best = _iteration_math(
+            H, q, A, b, G, h, g_active_f, x, y, lam, s, done, it, best,
+            M, Mi, reg=reg, tol=tol, refine_steps=refine_steps,
+            chol_inverse_fn=_chol_inverse)
         return (x, y, lam, s, new_done, it, best, Mi), None
 
     best0 = (x, y, lam, s, jnp.asarray(jnp.inf, dtype))
@@ -347,6 +459,8 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
     r_g = G @ x + s - h
     pri = jnp.maximum(pri, jnp.max(jnp.abs(jnp.where(g_active, r_g, 0.0))))
     dua = jnp.max(jnp.abs(H @ x + q + A.T @ y + G.T @ lam))
+    # strip the MXU-alignment padding (Pallas path) before returning
+    x, lam, s = x[:n_real], lam[:m_real], s[:m_real]
     return QPSolution(x=x, y=y, lam=lam, s=s, iters=it, gap=gap,
                       pri_res=pri, dua_res=dua)
 

@@ -55,6 +55,24 @@ def batched_solve_step(cfg: MPCConfig, params: SRBParams):
     return jax.jit(jax.vmap(step, in_axes=(0, 0, None, 0, None)))
 
 
+def batched_gait_opt_update(cfg: MPCConfig, params: SRBParams):
+    """vmap of the full bilevel update (QP gradient -> projection QP ->
+    alpha line search) over a scenario batch.
+
+    Reference cadence: MPCController::MPCUpdate runs this every
+    gait_opt_freq MPC iterations (controllers/mpc_controller.cpp:286-399);
+    here every scenario in the batch runs its own outer update in lockstep,
+    each internally vmapping the ls_alphas line-search lanes.
+    """
+    from bilevel_gait_gen_tpu.mpc import bilevel as bilevel_mod
+
+    def upd(state, x0, t0, ee0, x_des):
+        return bilevel_mod.gait_opt_update(cfg, params, state, x0, t0, ee0,
+                                           x_des)
+
+    return jax.jit(jax.vmap(upd, in_axes=(0, 0, None, 0, None)))
+
+
 def batched_initial_run(cfg: MPCConfig, params: SRBParams):
     def run(state, x0, ee0, x_des, t0):
         return solver_mod.create_initial_run(cfg, params, state, x0, ee0,

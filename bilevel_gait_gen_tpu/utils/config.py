@@ -75,15 +75,50 @@ class MPCConfig:
     # exact inverse refresh cadence (Newton-Schulz GEMM tracking between);
     # >1 is safe for warm-started RTI problems and much faster on TPU
     ipm_exact_every: int = 3
+    # QP inner-iteration backend: "xla" = op stream (default; measured
+    # faster both per-solve and on scenario batches — XLA tiles the batched
+    # GEMMs across problems on the MXU), "pallas" = fused single-kernel
+    # iteration (ops/pallas_kernels.py::ipm_iter; bit-compatible, lower
+    # compile latency, kept selectable for future VMEM-resident wins).
+    # Measured on v5e (BENCH_QP_KERNEL A/B, round 2): xla 1303 inner RTI/s
+    # vs pallas 851/s at batch 128.  Non-TPU backends always use XLA.
+    qp_kernel: str = "xla"
+    # QP algorithm backend: "pdip" = interior point (production; tight gaps
+    # for the bilevel derivatives, like the reference's Clarabel choice,
+    # a1_configuration.yaml:189-200), "admm" = OSQP-style operator
+    # splitting (the reference's solver switch, mpc/mpc.cpp:49,71)
+    qp_backend: str = "pdip"
+    admm_iters: int = 400
 
     # Gait schedule defaults (reference CreateDefaultSwitchingTimes:
     # 0.3 s phases, trot parity trajectory.cpp:24-28)
     phase_duration: float = 0.3
+    # Double-support overlap (seconds): each trot stance is lengthened to
+    # phase_duration + double_support and each swing shortened to
+    # phase_duration - double_support, with the diagonal pairs offset so the
+    # two pairs' stances OVERLAP by this much.  At 0 this reproduces the
+    # reference's instantaneous-exchange trot, whose planned total support
+    # force passes through zero at every shared phase boundary (spline
+    # forces are pinned zero at stance boundaries, end_effector_splines.cpp
+    # boundary NoDeriv nodes) — fine under MuJoCo's hard contact, but it
+    # excites a hop/sag limit cycle on the on-device penalty ground
+    # (docs/DESIGN.md "Penalty-engine closed-loop stability").  >0 keeps at
+    # least one pair mid-stance at every boundary instant.
+    double_support: float = 0.0
 
     # Outer (gait) optimizer
     min_dwell: float = 0.2          # gait_optimizer.cpp:412
-    trust_region: float = 1.0       # gait_optimizer.cpp:43
+    trust_region: float = 1.0       # initial Delta, gait_optimizer.cpp:43
     ls_alphas: int = 10             # LS_SIZE, gait_optimizer.h:164
+    # trust-region acceptance/adaptation (gait_optimizer.cpp:199-211,568-579):
+    # a step is accepted when actual/predicted cost reduction >= tr_eta_low;
+    # the radius grows by tr_grow on strong agreement (>= tr_eta_high),
+    # shrinks by tr_shrink on rejection, clamped to [tr_min, trust_region]
+    tr_eta_low: float = 0.1
+    tr_eta_high: float = 0.75
+    tr_shrink: float = 0.5
+    tr_grow: float = 2.0
+    tr_min: float = 0.01
 
     @property
     def horizon(self) -> float:
@@ -123,6 +158,11 @@ class MPCConfig:
         assert cover >= self.horizon, (
             f"num_phase_slots={self.num_phase_slots} x {self.phase_duration}s "
             f"cannot cover horizon {self.horizon}s + shift margin")
+        assert 0.0 <= self.double_support < self.phase_duration, (
+            "double_support must be in [0, phase_duration)")
+        if self.double_support > 0.0:
+            assert self.num_phase_slots % 2 == 0, (
+                "overlapped trot window extension assumes an even slot count")
         return self
 
 
@@ -152,5 +192,6 @@ def load_yaml(path: str) -> MPCConfig:
         q_diag=tuple(q) if q is not None else MPCConfig.q_diag,
         force_cost=get("force_cost", 0.0),
         phase_duration=phase,
+        double_support=get("double_support", 0.0),
     )
     return cfg.validate()

@@ -58,3 +58,57 @@ def test_batched():
                         tol=1e-11)
         np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(ip.x),
                                    atol=5e-4)
+
+
+def test_gradient_matches_fd():
+    """FD contract on the ADMM IFT adjoint (the reference's OSQP derivative
+    path, osqp_interface.cpp:275-312): d/dtheta of a scalar of the primal
+    solution must match central finite differences."""
+    rng = np.random.default_rng(3)
+    H, q, A, b, G, h = random_qp(rng)
+    P, qq, Aa, l, u = admm.from_onesided(H, q, A, b, G, h)
+    opts = (("iters", 4000), ("tol", 1e-11))
+    w = jnp.asarray(rng.standard_normal(q.shape[-1]))
+
+    def loss(qv, hv):
+        uu = u.at[b.shape[-1]:].set(hv)
+        return jnp.dot(w, admm.solve_primal(P, qv, Aa, l, uu, opts))
+
+    gq, gh = jax.grad(loss, argnums=(0, 1))(qq, h)
+    # eps large enough that solver noise (~1e-9) stays below FD signal
+    eps = 1e-5
+    for idx in [0, 7, 19]:
+        e = jnp.zeros_like(qq).at[idx].set(eps)
+        fd = (loss(qq + e, h) - loss(qq - e, h)) / (2 * eps)
+        np.testing.assert_allclose(float(gq[idx]), float(fd), rtol=5e-3,
+                                   atol=1e-6)
+    for idx in [0, 5, 14]:
+        e = jnp.zeros_like(h).at[idx].set(eps)
+        fd = (loss(qq, h + e) - loss(qq, h - e)) / (2 * eps)
+        np.testing.assert_allclose(float(gh[idx]), float(fd), rtol=5e-3,
+                                   atol=1e-6)
+
+
+def test_mpc_solve_step_on_admm_backend():
+    """cfg.qp_backend='admm' drives a full MPC real-time iteration
+    (the reference's solver switch, mpc/mpc.cpp:49,71)."""
+    from bilevel_gait_gen_tpu.models import a1, rbd, srb
+    from bilevel_gait_gen_tpu.mpc import gait, solver
+    from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
+    from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+    cfg = MPCConfig(qp_backend="admm", admm_iters=800).validate()
+    model = a1.make_a1()
+    q0 = jnp.asarray(a1.stand_config(), jnp.float64)
+    params = srb.make_srb_params(model, q0)
+    x0 = jnp.zeros(13).at[2].set(0.3).at[9].set(1.0)
+    feet0 = rbd.ee_positions(model, q0)
+    traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
+    st = solver.SolverState(traj=traj,
+                            ee_box=jnp.asarray(cfg.ee_box_size, jnp.float64))
+    x_des = srb.manifold_to_tangent(x0)
+    st, stats = solver.solve_step(cfg, params, st, x0, jnp.array(0.0),
+                                  feet0, x_des, shift_window=False)
+    assert bool(stats.solved)
+    assert float(stats.qp_pri) < 1e-3
+    assert np.all(np.isfinite(np.asarray(st.traj.f_nodes)))

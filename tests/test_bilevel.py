@@ -49,29 +49,56 @@ def outer_cost_at(bounds):
 
 
 def test_outer_gradient_matches_fd():
-    g = np.asarray(bilevel.outer_gradient(
-        CFG, PARAMS, STATE.traj, X0, jnp.array(0.0), FEET0, X_DES,
-        STATE.ee_box))
-    assert np.all(np.isfinite(g))
+    """FD contract over EVERY free (in-horizon, future) boundary at 1e-3
+    relative — the reference's bar ("Model Partials", test/mpc_test.cpp:
+    120-268, tol 1e-4 on its own scale).  Both sides run at tight solve
+    accuracy (iters=40, tol=1e-12): the contract tests the IFT adjoint, not
+    the production iteration budget (production-precision quality is held
+    by tests/test_parity.py instead)."""
+    tight = (("iters", 40), ("tol", 1e-12))
+
+    def outer_cost_tight(bounds):
+        traj_b = Trajectory(x_man=STATE.traj.x_man,
+                            f_nodes=STATE.traj.f_nodes,
+                            footholds=STATE.traj.footholds,
+                            sched=GaitSchedule(bounds=bounds))
+        qp = qp_mod.assemble(CFG, PARAMS, traj_b, X0, jnp.array(0.0), FEET0,
+                             X_DES, STATE.ee_box)
+        u = pdip.solve_primal(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h, tight)
+        return 0.5 * u @ qp.H @ u + qp.q @ u + qp.cost_const
+
     b0 = np.asarray(STATE.traj.sched.bounds, dtype=np.float64)
+    free = (b0 > 0.0) & (b0 < CFG.horizon)
+    # evaluate at a GENERIC point: the default trot boundaries sit exactly
+    # on the dt node grid, where the cost has kinks (a node's stance mask
+    # flips as the boundary crosses it) — central FD straddling a kink
+    # measures the average of the two one-sided slopes, not the autodiff
+    # branch, and fails spuriously at ~3e-3.  An off-grid offset keeps the
+    # whole FD stencil on one smooth branch.
+    b0 = b0 + 0.0173 * free
+    g = np.asarray(jax.grad(outer_cost_tight)(jnp.asarray(b0)))
+    assert np.all(np.isfinite(g))
+
+    idx = np.argwhere(free)
+    assert len(idx) >= 10, "expected >= 10 free boundaries in the window"
     eps = 1e-5
-    # spot-check free (future) boundaries across both trot pairs (kept small:
-    # each FD sample is two full QP solves)
-    checked = 0
-    for ee in [0, 1]:
-        for i in [1, 2]:
-            if b0[ee, i] <= 0.0 or b0[ee, i] >= CFG.horizon:
-                continue
-            bp, bm = b0.copy(), b0.copy()
-            bp[ee, i] += eps
-            bm[ee, i] -= eps
-            fd = (outer_cost_at(jnp.asarray(bp))
-                  - outer_cost_at(jnp.asarray(bm))) / (2 * eps)
-            denom = max(1.0, abs(fd), abs(g[ee, i]))
-            assert abs(g[ee, i] - fd) / denom < 5e-2, (
-                f"theta[{ee},{i}]: ift={g[ee, i]:.4f} fd={fd:.4f}")
-            checked += 1
-    assert checked >= 3
+    perturbed = []
+    for ee, i in idx:
+        bp, bm = b0.copy(), b0.copy()
+        bp[ee, i] += eps
+        bm[ee, i] -= eps
+        perturbed += [bp, bm]
+    costs = jax.vmap(outer_cost_tight)(jnp.asarray(np.stack(perturbed)))
+    costs = np.asarray(costs, np.float64)
+    failures = []
+    for k, (ee, i) in enumerate(idx):
+        fd = (costs[2 * k] - costs[2 * k + 1]) / (2 * eps)
+        denom = max(1.0, abs(fd), abs(g[ee, i]))
+        rel = abs(g[ee, i] - fd) / denom
+        if rel > 1e-3:
+            failures.append((int(ee), int(i), float(g[ee, i]), float(fd),
+                             float(rel)))
+    assert not failures, f"IFT-vs-FD >1e-3 at {failures}"
 
 
 def test_contact_time_step_respects_constraints():
@@ -99,3 +126,45 @@ def test_line_search_improves_or_keeps():
     _, stats0 = solver.solve_step(CFG, PARAMS, STATE, X0, jnp.array(0.0),
                                   FEET0, X_DES, shift_window=False)
     assert float(res.cost) <= float(stats0.cost) + 1e-6
+
+
+def test_trust_region_rejects_poisoned_step(monkeypatch):
+    """A poisoned gradient concentrated on beyond-horizon boundaries
+    predicts a cost reduction but cannot actually change the QP (no horizon
+    node lives in the final phase slot), so the ratio test must reject the
+    step and shrink the trust radius (gait_optimizer.cpp:199-211,568-579).
+
+    (A plain sign-flipped gradient is NOT a valid poison here: on this
+    nonconvex landscape an ascent direction of the linearization can still
+    genuinely reduce the cost, and accepting it would be correct.)"""
+    bounds = np.asarray(STATE.traj.sched.bounds)
+    horizon = CFG.horizon
+    assert np.all(bounds[:, -1] > horizon + CFG.trust_region), \
+        "test precondition: final boundary must stay beyond the horizon"
+    g_fake = np.zeros_like(bounds)
+    g_fake[:, -1] = -1.0      # push the final boundary later (always feasible)
+    monkeypatch.setattr(bilevel, "outer_gradient",
+                        lambda *a, **k: jnp.asarray(g_fake))
+    res = bilevel.gait_opt_update(CFG, PARAMS, STATE, X0, jnp.array(0.0),
+                                  FEET0, X_DES, trust=CFG.trust_region)
+    assert not bool(res.accepted)
+    assert float(res.alpha) == 0.0
+    assert float(res.trust) == pytest.approx(
+        max(CFG.trust_region * CFG.tr_shrink, CFG.tr_min))
+    # rejected update keeps the incoming gait untouched
+    np.testing.assert_array_equal(np.asarray(res.state.traj.sched.bounds),
+                                  np.asarray(STATE.traj.sched.bounds))
+
+
+def test_trust_region_adapts_on_real_gradient():
+    """The genuine gradient produces a finite-cost update and a sane radius
+    in [tr_min, trust_region]; accepted steps keep or grow the radius."""
+    res = bilevel.gait_opt_update(CFG, PARAMS, STATE, X0, jnp.array(0.0),
+                                  FEET0, X_DES, trust=0.1)
+    assert np.isfinite(float(res.cost))
+    t = float(res.trust)
+    assert CFG.tr_min - 1e-9 <= t <= CFG.trust_region + 1e-9
+    if bool(res.accepted):
+        assert t >= 0.1 - 1e-9
+    else:
+        assert t == pytest.approx(max(0.1 * CFG.tr_shrink, CFG.tr_min))

@@ -26,3 +26,56 @@ def test_gtwg_fallback_on_cpu():
     out = pk.gtwg(H, G, W)    # CPU -> reference path
     ref = pk.gtwg_reference(H, G, W)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+def _random_qp(seed, n=40, m=60, p=12):
+    rng = np.random.default_rng(seed)
+    L = rng.standard_normal((n, n)).astype(np.float32)
+    H = (L @ L.T + np.eye(n)).astype(np.float32)
+    q = rng.standard_normal(n).astype(np.float32)
+    A = rng.standard_normal((p, n)).astype(np.float32)
+    b = rng.standard_normal(p).astype(np.float32)
+    G = rng.standard_normal((m, n)).astype(np.float32)
+    h = (rng.standard_normal(m) + 2.0).astype(np.float32)
+    return map(jnp.asarray, (H, q, A, b, G, h))
+
+
+def test_fused_ipm_matches_xla_interpret():
+    """The fused Pallas iteration (interpret mode) must agree with the XLA
+    reference path: same _iteration_math, so agreement is to padding +
+    Schur-inverse rounding only."""
+    from bilevel_gait_gen_tpu.ops import pdip
+
+    H, q, A, b, G, h = _random_qp(0)
+    old = pk.INTERPRET
+    pk.INTERPRET = True
+    try:
+        sx = pdip.solve(H, q, A, b, G, h, iters=20, tol=1e-7,
+                        use_pallas=False)
+        sp = pdip.solve(H, q, A, b, G, h, iters=20, tol=1e-7,
+                        use_pallas=True)
+    finally:
+        pk.INTERPRET = old
+    assert float(sp.gap) < 1e-5
+    assert float(sp.pri_res) < 1e-4
+    np.testing.assert_allclose(np.asarray(sp.x), np.asarray(sx.x),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fused_ipm_warm_and_ns_interpret():
+    """Warm-started + Newton-Schulz cadence (the production RTI regime)
+    through the fused kernel."""
+    from bilevel_gait_gen_tpu.ops import pdip
+
+    H, q, A, b, G, h = _random_qp(1)
+    old = pk.INTERPRET
+    pk.INTERPRET = True
+    try:
+        cold = pdip.solve(H, q, A, b, G, h, iters=20, tol=1e-7,
+                          use_pallas=True)
+        warm = pdip.solve(H, q, A, b, G, h, iters=8, tol=1e-7,
+                          exact_every=3, use_pallas=True, warm=cold)
+    finally:
+        pk.INTERPRET = old
+    assert float(warm.gap) < 1e-5
+    np.testing.assert_allclose(np.asarray(warm.x), np.asarray(cold.x),
+                               rtol=1e-3, atol=1e-4)

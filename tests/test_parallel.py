@@ -4,6 +4,7 @@ Covers SURVEY §5 "distributed communication backend": scenario batch
 sharded with jax.sharding, results identical to the unsharded path, and
 the dryrun_multichip entry used by the driver.
 """
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,3 +71,19 @@ def test_sharded_batch_matches_unsharded(setup):
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_multihost_two_processes():
+    """Run the 2-process jax.distributed demo end to end (VERDICT item:
+    the multi-process path must be exercised by the suite, not just the
+    single-process 8-device mesh)."""
+    import subprocess
+    import sys as _sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(root, "scripts", "multihost_demo.py")
+    env = dict(os.environ)
+    env.pop("WORKER", None)
+    out = subprocess.run([_sys.executable, script], env=env, timeout=420,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, (out.stdout, out.stderr)
+    assert "MULTIHOST OK" in out.stdout, (out.stdout, out.stderr)
