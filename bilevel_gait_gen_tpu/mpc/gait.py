@@ -46,26 +46,46 @@ def make_trot(cfg: MPCConfig, t0: float = 0.0) -> GaitSchedule:
     starting in contact and FL(0)/RR(3) starting in swing
     (mpc/trajectory.cpp:24-28).  An EE starting in swing gets its slot-0
     stance placed wholly in the past.
+
+    With ``cfg.double_support = ov > 0`` each stance lasts d+ov and each
+    swing d-ov (cycle length preserved at 2d), and the in-contact pair's
+    stance starts ov BEFORE t0 — so the two diagonal pairs' stances overlap
+    by ov, planned total support never passes through zero, and the t0
+    plan does not start at a structurally-zero force instant.  At ov=0 this
+    is exactly the reference layout.
     """
     E, P, d = cfg.num_ee, cfg.num_phase_slots, cfg.phase_duration
-    base = t0 + jnp.arange(P + 1, dtype=jnp.result_type(float)) * d
+    ov = cfg.double_support
+    ft = jnp.result_type(float)
+    k = jnp.arange(P + 1, dtype=ft)
+    # boundaries alternate spacing (d+ov, d-ov): even index 2c at 2c*d - ov
+    # (stance start), odd index 2c+1 at (2c+1)*d (stance end)
+    base = t0 + k * d - jnp.where(k % 2 == 0, ov, 0.0)
     rows = []
     for ee in range(E):
         start_in_contact = ee in (1, 2) if E == 4 else (ee % 2 == 1)
         # stance slots are even: a foot in contact at t0 starts its stance at
-        # t0; a foot in swing at t0 had its stance end at t0 (shift back).
+        # t0-ov; a foot in swing at t0 had its stance end at t0 (shift back).
         rows.append(base if start_in_contact else base - d)
     return GaitSchedule(bounds=jnp.stack(rows))
 
 
 def make_standing(cfg: MPCConfig, t0: float = 0.0) -> GaitSchedule:
-    """All feet in stance for the whole window (swing slots zero-length)."""
+    """All feet in stance for the whole window: ONE merged stance slot.
+
+    Slot 0 spans [t0 - d, t0 + P*d] and every later slot is zero-length at
+    the far end, so the structurally-zero force instants (spline stance
+    boundaries) sit strictly OUTSIDE the horizon — the previous layout
+    (2d-long stances chained inside the window) pinned planned support to
+    zero at t0, 2d, 4d, ..., which free-falls the COM for an instant at
+    each and destabilizes the on-device penalty-ground loop
+    (docs/DESIGN.md "Penalty-engine closed-loop stability", fix #1:
+    merged stance force splines)."""
     E, P, d = cfg.num_ee, cfg.num_phase_slots, cfg.phase_duration
-    # stance slots long, swing slots zero-length
     ft = jnp.result_type(float)
-    durs = jnp.where(jnp.arange(P) % 2 == 0, jnp.asarray(d * 2.0, ft),
-                     jnp.asarray(0.0, ft))
-    bounds = t0 + jnp.concatenate([jnp.zeros(1, ft), jnp.cumsum(durs)])
+    far = t0 + P * d
+    bounds = jnp.concatenate([jnp.asarray([t0 - d], ft),
+                              jnp.full((P,), far, ft)])
     return GaitSchedule(bounds=jnp.tile(bounds[None, :], (cfg.num_ee, 1)))
 
 
@@ -147,8 +167,12 @@ def advance_window(sched: GaitSchedule, t0: jax.Array,
     overflow = idx > P
     idx_c = jnp.clip(idx, 0, P)
     gathered = jnp.take_along_axis(b, idx_c, axis=-1)
-    # entries past the original array extend with the nominal phase duration
-    extra = (idx - P).astype(b.dtype) * d
+    # entries past the original array extend with the nominal phase cadence,
+    # preserving the double-support overlap pattern: b[P] is an even
+    # (stance-start) boundary (P even, config.validate), so overflow step k
+    # lands at k*d plus ov on odd steps (stance ends are ov later)
+    k = (idx - P).astype(b.dtype)
+    extra = k * d + (k % 2) * cfg.double_support
     new_b = jnp.where(overflow, b[:, -1:] + extra, gathered)
     return GaitSchedule(bounds=new_b)
 

@@ -36,6 +36,14 @@ class SimConfig:
     foot_radius: float = 0.02      # A1 foot collision sphere
     substeps: int = 4              # physics substeps per control tick
     joint_damping: float = 0.1
+    # measured-contact gating with HYSTERESIS (DESIGN.md stability fix #2):
+    # a foot ENTERS contact when it sinks below foot_radius + enter_margin
+    # and only LEAVES when it rises above foot_radius + exit_margin.  The
+    # old single 2 mm threshold dropped the WBQP's stationary-contact rows
+    # whenever a penalty-ground dip bounced a stance foot a hair above it,
+    # feeding the hop/sag limit cycle.
+    contact_enter_margin: float = 0.001
+    contact_exit_margin: float = 0.006
 
 
 def contact_forces(sim: SimConfig, feet: jax.Array,
@@ -106,8 +114,16 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
     sub_dt = control_dt / sim.substeps
 
     def tick(carry, i):
-        q, v, st, t0 = carry
+        q, v, st, t0, mc_prev = carry
         t = i.astype(dtype) * control_dt
+
+        # hysteresis contact gating (DESIGN.md stability fix #2): latch
+        # stance through penalty-ground micro-bounces instead of toggling
+        # on a single position threshold every tick
+        feet_z = rbd.ee_positions(model, q)[:, 2]
+        enter = feet_z < sim.foot_radius + sim.contact_enter_margin
+        stay = feet_z < sim.foot_radius + sim.contact_exit_margin
+        mc = enter | (mc_prev & stay)
 
         def do_mpc(args):
             q_, v_, st_, _ = args
@@ -116,12 +132,10 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
             if contact_sync:
                 # early-touchdown schedule sync (MPC::AdjustForCurrentContacts,
                 # mpc/mpc.cpp:1195-1203), as the MuJoCo loop does per MPC
-                # step.  Off by default: with penalty-ground contact the
-                # threshold fires mid-dip and the snapped bounds can
-                # degenerate the QP (observed: solver never recovers)
-                mc_ = feet[:, 2] < sim.foot_radius + 0.002
+                # step, fed by the LATCHED contact state so a mid-dip bounce
+                # cannot snap the bounds and degenerate the QP
                 sched2 = gait_mod.adjust_for_current_contacts(
-                    st_.traj.sched, mc_, t)
+                    st_.traj.sched, mc, t)
                 st_ = dataclasses.replace(
                     st_, traj=dataclasses.replace(st_.traj, sched=sched2))
             st2, stats = solver_mod.solve_step(cfg, params, st_, x_srb, t,
@@ -146,11 +160,8 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
         st, t0, cost, solved = jax.lax.cond(i % mpc_every == 0, do_mpc,
                                             no_mpc, (q, v, st, t0))
 
-        feet_z = rbd.ee_positions(model, q)[:, 2]
-        measured_contact = feet_z < sim.foot_radius + 0.002
         tau = mpc_controller.control_action(model, params, cfg, wb_cfg,
-                                            st.traj, q, v, t, t0,
-                                            measured_contact)
+                                            st.traj, q, v, t, t0, mc)
 
         def sub(carry2, _):
             q_, v_ = carry2
@@ -159,10 +170,12 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
 
         (q, v), _ = jax.lax.scan(sub, (q, v), None, length=sim.substeps)
         x_srb = mpc_controller.reconstruct_srb_state(model, params, q, v)
-        return (q, v, st, t0), SimLog(q=q, v=v, srb_state=x_srb, tau=tau,
-                                      cost=cost, solved=solved)
+        return (q, v, st, t0, mc), SimLog(q=q, v=v, srb_state=x_srb, tau=tau,
+                                          cost=cost, solved=solved)
 
-    (q, v, st, t0), log = jax.lax.scan(
-        tick, (q0, v0, state0, jnp.asarray(0.0, dtype)),
+    mc0 = rbd.ee_positions(model, q0)[:, 2] < (sim.foot_radius
+                                               + sim.contact_enter_margin)
+    (q, v, st, t0, _), log = jax.lax.scan(
+        tick, (q0, v0, state0, jnp.asarray(0.0, dtype), mc0),
         jnp.arange(n_ticks))
     return st, log

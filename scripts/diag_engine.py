@@ -29,11 +29,17 @@ from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
 from bilevel_gait_gen_tpu.sim import engine
 from bilevel_gait_gen_tpu.utils.config import MPCConfig
 
+if os.environ.get("DIAG_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 n_ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
-control_dt = 0.001
-mpc_every = 50
+control_dt = float(os.environ.get("CONTROL_DT", "0.001"))
+mpc_every = int(os.environ.get("MPC_EVERY", "50"))
+contact_sync = bool(int(os.environ.get("CONTACT_SYNC", "0")))
 dtype = jnp.float32
-cfg = MPCConfig(ipm_iters=18).validate()
+cfg = MPCConfig(ipm_iters=18,
+                double_support=float(os.environ.get("DOUBLE_SUPPORT", "0")),
+                ).validate()
 damp = float(os.environ.get("CONTACT_DAMP", "0"))
 gs = float(os.environ.get("GAIN_SCALE", "1"))       # torso PD gain scale
 tb = float(os.environ.get("TORQUE_BOUND", "30"))
@@ -65,7 +71,8 @@ print(f"initial: solved={bool(stats.solved)} defect={float(stats.defect_l1):.2e}
 
 run = jax.jit(lambda s, q, v: engine.closed_loop(
     model, params, cfg, wb_cfg, sim, s, q, v, x_des,
-    n_ticks=n_ticks, control_dt=control_dt, mpc_every=mpc_every))
+    n_ticks=n_ticks, control_dt=control_dt, mpc_every=mpc_every,
+    contact_sync=contact_sync))
 st_out, log = run(st, q0, jnp.zeros(model.nv, dtype))
 jax.block_until_ready(log.q)
 

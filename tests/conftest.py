@@ -22,7 +22,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 
-@__import__("pytest").fixture(autouse=True, scope="module")
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """Cap suite memory: one pytest process accumulates every module's XLA
     executables (the closed-loop scans are hundreds of MB each compiled in
@@ -31,3 +34,32 @@ def _clear_jax_caches_between_modules():
     cost of a few recompiles."""
     yield
     jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# fast/slow split: `pytest -m fast` is the <5-min developer loop; the full
+# run (default) includes the expensive closed-loop / FD-contract tests.
+# Modules listed here are slow WHOLESALE (every test heavy by construction);
+# individual heavy tests elsewhere carry @pytest.mark.slow directly.
+# ---------------------------------------------------------------------------
+
+_SLOW_MODULES = {
+    "test_parity",      # module-scope 10-step MPC rollouts (f64 + f32)
+    "test_mpc_inner",   # full-size assemble + solve + closed-loop RTI
+    "test_sim_engine",  # closed-loop physics+WBQP+MPC scans
+    "test_bilevel",     # QP-solve line searches + every-boundary FD contract
+    "test_multihost",   # spawns 2 fresh interpreters (compile from scratch)
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: expensive test (excluded by -m fast)")
+    config.addinivalue_line("markers", "fast: quick test (run with -m fast)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)

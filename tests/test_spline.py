@@ -220,11 +220,10 @@ def test_total_support_force_zero_at_phase_boundaries():
     """Characterization: spline forces are structurally pinned to zero at
     every contact-phase boundary (reference semantics: boundary nodes are
     never decision variables, splines_tests.cpp force contracts).  For the
-    default trot BOTH diagonal pairs hit a boundary at the same instant, so
-    the planned total support force passes through zero every phase — the
-    root cause of the penalty-engine hop/sag cycle (docs/DESIGN.md,
-    "Penalty-engine closed-loop stability").  A standing schedule has the
-    same instants at its stance-slot boundaries (2*d, 4*d, ...)."""
+    zero-overlap trot BOTH diagonal pairs hit a boundary at the same
+    instant, so the planned total support force passes through zero every
+    phase — the root cause of the penalty-engine hop/sag cycle
+    (docs/DESIGN.md, "Penalty-engine closed-loop stability")."""
     rng = np.random.default_rng(7)
     f_nodes, _ = make_vars(rng)
     F = CFG.num_force_polys
@@ -237,7 +236,64 @@ def test_total_support_force_zero_at_phase_boundaries():
     f_mid = spline.forces_all(trot.bounds, f_nodes, jnp.asarray(0.15), F)
     assert np.any(np.abs(np.asarray(f_mid)) > 1e-3)
 
-    standing = gait.make_standing(CFG)
-    d2 = 2.0 * CFG.phase_duration      # stance-slot length in make_standing
-    f0 = spline.forces_all(standing.bounds, f_nodes, jnp.asarray(d2), F)
-    np.testing.assert_allclose(np.asarray(f0), 0.0, atol=1e-12)
+
+def test_double_support_trot_keeps_support():
+    """With double_support > 0 (DESIGN.md stability fix #3) the two diagonal
+    pairs' stances overlap, so at every structurally-zero-force instant of
+    one pair the OTHER pair is mid-stance and can carry force; and the t0
+    plan does not start at a zero instant.  Reduces to the reference layout
+    at double_support = 0 (held by test_trot_schedule_contacts etc.)."""
+    cfg = MPCConfig(double_support=0.1).validate()
+    sched = gait.make_trot(cfg)
+    b = np.asarray(sched.bounds)
+    d, ov = cfg.phase_duration, cfg.double_support
+    # layout: in-contact rows stance [t0-ov, t0+d]; stances d+ov, swings d-ov
+    np.testing.assert_allclose(b[1, 0], -ov, atol=1e-12)
+    np.testing.assert_allclose(b[1, 1], d, atol=1e-12)
+    np.testing.assert_allclose(b[0, 1], 0.0, atol=1e-12)
+
+    # at t0 both in-contact feet are mid-stance (support available)
+    flags = gait.contact_flags(sched, jnp.asarray(0.0))
+    np.testing.assert_array_equal(np.asarray(flags),
+                                  [False, True, True, False])
+    # unit interior nodes: planned support capacity never hits zero on a
+    # dense time grid inside the horizon
+    f_nodes = jnp.ones((cfg.num_ee, cfg.num_stance_slots,
+                        cfg.num_force_polys - 1, 3, 2)
+                       ).at[..., 1].set(0.0)   # unit values, zero derivs
+    ts = np.linspace(0.0, cfg.horizon, 201)
+    support = [float(jnp.sum(spline.forces_all(
+        sched.bounds, f_nodes, jnp.asarray(t), cfg.num_force_polys)[:, 2]))
+        for t in ts]
+    assert min(support) > 0.05, min(support)
+
+    # window shift preserves the overlap pattern (stance d+ov, swing d-ov)
+    sched2 = gait.advance_window(sched, jnp.asarray(2.05), cfg)
+    b2 = np.asarray(sched2.bounds)
+    stances = b2[:, 1::2] - b2[:, 0:-1:2]
+    swings = b2[:, 2::2] - b2[:, 1:-1:2]
+    np.testing.assert_allclose(stances, d + ov, atol=1e-9)
+    np.testing.assert_allclose(swings, d - ov, atol=1e-9)
+
+
+def test_standing_schedule_has_no_interior_zero_instants():
+    """make_standing (DESIGN.md stability fix #1: merged stance splines)
+    keeps every structurally-zero force instant outside [t0, t0+horizon]."""
+    cfg = MPCConfig().validate()
+    standing = gait.make_standing(cfg)
+    b = np.asarray(standing.bounds)
+    # one real stance from the past to beyond the window
+    assert b[0, 0] < 0.0
+    assert b[0, 1] > cfg.horizon
+    # all feet in stance throughout
+    for t in [0.0, 0.3, 0.6, cfg.horizon]:
+        flags = gait.contact_flags(standing, jnp.asarray(t))
+        assert np.all(np.asarray(flags))
+    # interior force capacity on a dense grid never zero
+    f_nodes = jnp.ones((cfg.num_ee, cfg.num_stance_slots,
+                        cfg.num_force_polys - 1, 3, 2)
+                       ).at[..., 1].set(0.0)   # unit values, zero derivs
+    for t in np.linspace(0.0, cfg.horizon, 101):
+        f = spline.forces_all(standing.bounds, f_nodes, jnp.asarray(t),
+                              cfg.num_force_polys)
+        assert float(jnp.sum(f[:, 2])) > 0.05
