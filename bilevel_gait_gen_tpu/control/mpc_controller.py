@@ -27,11 +27,13 @@ from bilevel_gait_gen_tpu.models import rbd, srb
 from bilevel_gait_gen_tpu.models.rbd import RobotModel
 from bilevel_gait_gen_tpu.mpc import gait as gait_mod
 from bilevel_gait_gen_tpu.mpc.trajectory import Trajectory
+from bilevel_gait_gen_tpu.utils.precision import highest_matmul_precision
 from bilevel_gait_gen_tpu.ops import quat as quat_ops
 from bilevel_gait_gen_tpu.ops import spline
 from bilevel_gait_gen_tpu.utils.config import MPCConfig
 
 
+@highest_matmul_precision
 def reconstruct_srb_state(model: RobotModel, params: srb.SRBParams,
                           q: jax.Array, v: jax.Array) -> jax.Array:
     """SRB manifold state [p, h, quat, w] from the full robot (q, v)."""
@@ -82,6 +84,7 @@ def targets_from_traj(model: RobotModel, cfg: MPCConfig, traj: Trajectory,
     return x, q_des, feet_vel, f_des, contact
 
 
+@highest_matmul_precision
 def control_action(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
                    wb_cfg: wbqp.WBQPConfig, traj: Trajectory, q: jax.Array,
                    v: jax.Array, t: jax.Array, t0: jax.Array,

@@ -20,6 +20,7 @@ from bilevel_gait_gen_tpu.models import rbd
 from bilevel_gait_gen_tpu.models.rbd import RobotModel
 from bilevel_gait_gen_tpu.ops import pdip
 from bilevel_gait_gen_tpu.ops import quat as quat_ops
+from bilevel_gait_gen_tpu.utils.precision import highest_matmul_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +48,7 @@ class WBQPConfig:
     ipm_iters: int = 15
 
 
+@highest_matmul_precision
 def compute_torques(model: RobotModel, cfg: WBQPConfig, q: jax.Array,
                     v: jax.Array, contact: jax.Array, q_des: jax.Array,
                     v_des: jax.Array, f_des: jax.Array) -> jax.Array:
@@ -157,6 +159,7 @@ def compute_torques(model: RobotModel, cfg: WBQPConfig, q: jax.Array,
     return jnp.clip(tau, -cfg.torque_bound, cfg.torque_bound)
 
 
+@highest_matmul_precision
 def pd_grav_comp(model: RobotModel, q: jax.Array, v: jax.Array,
                  q_des: jax.Array, v_des: jax.Array,
                  kp: float = 60.0, kd: float = 5.0) -> jax.Array:

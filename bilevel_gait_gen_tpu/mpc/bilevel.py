@@ -39,8 +39,10 @@ from bilevel_gait_gen_tpu.mpc.trajectory import Trajectory
 from bilevel_gait_gen_tpu.models.srb import SRBParams
 from bilevel_gait_gen_tpu.ops import pdip
 from bilevel_gait_gen_tpu.utils.config import MPCConfig
+from bilevel_gait_gen_tpu.utils.precision import highest_matmul_precision
 
 
+@highest_matmul_precision
 def outer_gradient(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
                    x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
                    x_des_tan: jax.Array, ee_box: jax.Array) -> jax.Array:
@@ -62,6 +64,7 @@ def outer_gradient(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
     return jax.grad(outer_cost)(traj.sched.bounds)
 
 
+@highest_matmul_precision
 def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
                       t0: jax.Array,
                       trust: jax.Array | float | None = None) -> jax.Array:
@@ -145,6 +148,7 @@ class GaitOptResult(NamedTuple):
     accepted: jax.Array = True   # step passed the ratio test
 
 
+@highest_matmul_precision
 def line_search(cfg: MPCConfig, params: SRBParams,
                 state: solver_mod.SolverState, step: jax.Array,
                 x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
@@ -184,6 +188,7 @@ def line_search(cfg: MPCConfig, params: SRBParams,
                          cost0=costs[0])
 
 
+@highest_matmul_precision
 def gait_opt_update(cfg: MPCConfig, params: SRBParams,
                     state: solver_mod.SolverState, x0_man: jax.Array,
                     t0: jax.Array, ee_pos0: jax.Array,

@@ -33,6 +33,7 @@ from bilevel_gait_gen_tpu.models import srb
 from bilevel_gait_gen_tpu.models.srb import SRBParams
 from bilevel_gait_gen_tpu.ops import spline
 from bilevel_gait_gen_tpu.utils.config import MPCConfig
+from bilevel_gait_gen_tpu.utils.precision import highest_matmul_precision
 
 
 class CondensedQP(NamedTuple):
@@ -45,6 +46,16 @@ class CondensedQP(NamedTuple):
     S: jax.Array        # [N+1, 12, n_u] state condensing maps
     c: jax.Array        # [N+1, 12] state offsets
     cost_const: jax.Array  # constant cost term (for reporting parity)
+
+
+# TPU matmuls default to bfloat16.  The condensed Hessian H = S^T Q S has
+# a natural scale of ~1e8 (foothold -> angular momentum -> orientation
+# sensitivities times q-weights ~3e3 over a 1 s horizon), so ~0.5 % bf16
+# rounding makes the *equilibrated* H indefinite (measured min-eig -0.015
+# vs +5e-10 when assembled accurately) and the IPM's Cholesky NaNs.  The
+# solver (ops/pdip.py) already runs at `highest`; the data it consumes
+# must be built at `highest` too.
+_highest_matmul_precision = highest_matmul_precision
 
 
 def friction_pyramid(mu: float, dtype) -> jax.Array:
@@ -68,6 +79,7 @@ def _sample_times(bounds_ee: jax.Array, cfg: MPCConfig) -> jax.Array:
     return td[:, None] + frac[None, :] * (lo - td)[:, None]
 
 
+@_highest_matmul_precision
 def assemble_ad(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
              x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
              x_des_tan: jax.Array, ee_box_size: jax.Array) -> CondensedQP:
@@ -257,6 +269,7 @@ def assemble_ad(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
                        S=S_stack, c=c_stack, cost_const=cost_const)
 
 
+@_highest_matmul_precision
 def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
              x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
              x_des_tan: jax.Array, ee_box_size: jax.Array) -> CondensedQP:
@@ -492,6 +505,7 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
                        S=S_stack, c=c_stack, cost_const=cost_const)
 
 
+@_highest_matmul_precision
 def recover_states(qp: CondensedQP, u: jax.Array) -> jax.Array:
     """[N+1, 12] tangent states implied by the QP solution."""
     return jnp.einsum('kiu,u->ki', qp.S, u) + qp.c

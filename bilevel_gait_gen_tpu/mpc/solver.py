@@ -25,6 +25,7 @@ from bilevel_gait_gen_tpu.models import srb
 from bilevel_gait_gen_tpu.models.srb import SRBParams
 from bilevel_gait_gen_tpu.ops import pdip
 from bilevel_gait_gen_tpu.utils.config import MPCConfig
+from bilevel_gait_gen_tpu.utils.precision import highest_matmul_precision
 
 
 @jax.tree_util.register_dataclass
@@ -89,6 +90,7 @@ def _defect_l1(cfg: MPCConfig, params: SRBParams, xs_tan: jax.Array,
     return jnp.sum(jnp.abs(d))
 
 
+@highest_matmul_precision
 def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
                x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
                x_des_tan: jax.Array,
@@ -199,6 +201,7 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
     return SolverState(traj=traj_new, ee_box=ee_box, qp_warm=new_warm), stats
 
 
+@highest_matmul_precision
 def create_initial_run(cfg: MPCConfig, params: SRBParams, state: SolverState,
                        x0_man: jax.Array, ee_pos0: jax.Array,
                        x_des_tan: jax.Array,

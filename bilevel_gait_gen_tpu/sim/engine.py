@@ -24,6 +24,7 @@ from bilevel_gait_gen_tpu.mpc import gait as gait_mod
 from bilevel_gait_gen_tpu.mpc import solver as solver_mod
 from bilevel_gait_gen_tpu.ops import spline
 from bilevel_gait_gen_tpu.utils.config import MPCConfig
+from bilevel_gait_gen_tpu.utils.precision import highest_matmul_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +93,7 @@ class SimLog(NamedTuple):
     solved: jax.Array     # [T]
 
 
+@highest_matmul_precision
 def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
                 wb_cfg: wbqp.WBQPConfig, sim: SimConfig,
                 state0: solver_mod.SolverState, q0: jax.Array, v0: jax.Array,
