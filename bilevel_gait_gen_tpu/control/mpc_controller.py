@@ -80,6 +80,9 @@ def targets_from_traj(model: RobotModel, cfg: MPCConfig, traj: Trajectory,
     contact = gait_mod.contact_flags(traj.sched, t)
     f_des = spline.forces_all(traj.sched.bounds, traj.f_nodes, t,
                               cfg.num_force_polys)
+    if cfg.force_carrier:
+        f_des = f_des + spline.carrier_forces(
+            traj.sched.bounds, t, model.total_mass * 9.81, cfg.carrier_ramp)
     f_des = f_des * contact[:, None]
     return x, q_des, feet_vel, f_des, contact
 

@@ -119,6 +119,9 @@ def dynamics(params: SRBParams, x_tan: jax.Array,
     w = x_tan[ANG]
 
     forces = spline.forces_all(bounds, f_nodes, t, cfg.num_force_polys)
+    if cfg.force_carrier:
+        forces = forces + spline.carrier_forces(
+            bounds, t, params.mass * 9.81, cfg.carrier_ramp)
     feet = spline.foot_positions_all(bounds, footholds, t,
                                      cfg.swing_height, cfg.foot_offset)
 

@@ -71,21 +71,23 @@ def make_trot(cfg: MPCConfig, t0: float = 0.0) -> GaitSchedule:
 
 
 def make_standing(cfg: MPCConfig, t0: float = 0.0) -> GaitSchedule:
-    """All feet in stance for the whole window: ONE merged stance slot.
+    """All feet in stance forever: chained 2d stances, zero-length swings.
 
-    Slot 0 spans [t0 - d, t0 + P*d] and every later slot is zero-length at
-    the far end, so the structurally-zero force instants (spline stance
-    boundaries) sit strictly OUTSIDE the horizon — the previous layout
-    (2d-long stances chained inside the window) pinned planned support to
-    zero at t0, 2d, 4d, ..., which free-falls the COM for an instant at
-    each and destabilizes the on-device penalty-ground loop
-    (docs/DESIGN.md "Penalty-engine closed-loop stability", fix #1:
-    merged stance force splines)."""
+    Stance slot c spans [t0 + (2c-1) d, t0 + (2c+1) d] and each swing slot
+    between them is zero-length (liftoff == next touchdown), so contact
+    flags are stance at every t, force-node density stays at the walking
+    cadence (interior nodes every 2d/F), and :func:`advance_window`'s
+    pattern-preserving extension keeps the robot standing indefinitely.
+    The force spline still pins to zero at the chained boundaries; the
+    static-support carrier (ops/spline.py::carrier_weights, which skips
+    ramps at zero-length swings) carries m*g across them so the PLAN never
+    dips below weight support (docs/DESIGN.md "Penalty-engine closed-loop
+    stability")."""
     E, P, d = cfg.num_ee, cfg.num_phase_slots, cfg.phase_duration
     ft = jnp.result_type(float)
-    far = t0 + P * d
-    bounds = jnp.concatenate([jnp.asarray([t0 - d], ft),
-                              jnp.full((P,), far, ft)])
+    k = jnp.arange(P + 1, dtype=ft)
+    # even k: stance start at (k-1) d; odd k: stance end at k d
+    bounds = t0 + d * jnp.where(k % 2 == 0, k - 1, k)
     return GaitSchedule(bounds=jnp.tile(bounds[None, :], (cfg.num_ee, 1)))
 
 
@@ -167,12 +169,16 @@ def advance_window(sched: GaitSchedule, t0: jax.Array,
     overflow = idx > P
     idx_c = jnp.clip(idx, 0, P)
     gathered = jnp.take_along_axis(b, idx_c, axis=-1)
-    # entries past the original array extend with the nominal phase cadence,
-    # preserving the double-support overlap pattern: b[P] is an even
-    # (stance-start) boundary (P even, config.validate), so overflow step k
-    # lands at k*d plus ov on odd steps (stance ends are ov later)
+    # entries past the original array extend by REPEATING THE LAST CYCLE's
+    # (stance, swing) durations, so the window shift preserves whatever
+    # cadence the schedule encodes: nominal trot (d, d), overlapped trot
+    # (d+ov, d-ov), standing (2d, 0), or gait-optimizer-adapted times.
+    # b[P] is an even (stance-start) boundary (P even, config.validate),
+    # so overflow step k alternates +stance_dur, +swing_dur.
+    sd = b[:, -2:-1] - b[:, -3:-2]                      # last stance duration
+    wd = b[:, -1:] - b[:, -2:-1]                        # last swing duration
     k = (idx - P).astype(b.dtype)
-    extra = k * d + (k % 2) * cfg.double_support
+    extra = jnp.ceil(k / 2) * sd + jnp.floor(k / 2) * wd
     new_b = jnp.where(overflow, b[:, -1:] + extra, gathered)
     return GaitSchedule(bounds=new_b)
 

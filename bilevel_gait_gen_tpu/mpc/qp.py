@@ -159,19 +159,26 @@ def assemble_ad(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
     S_slots = cfg.num_stance_slots
 
     def force_rows(u):
-        """Friction cone (<=0) and force-box rows at the stance samples."""
+        """Friction cone (<=0) and force-box rows at the stance samples.
+        The rows constrain the TOTAL planned force (carrier + spline when
+        cfg.force_carrier); the carrier is u-independent so it only shifts
+        the constant part (v0 -> h)."""
         fn, _ = unravel(u)
 
-        def per_ee(b_ee, fn_ee):
+        def per_ee(e, b_ee, fn_ee):
             ts = _sample_times(b_ee, cfg)                   # [S, FB]
             f = jax.vmap(jax.vmap(
                 lambda t: spline.force_value(b_ee, fn_ee, t,
                                              cfg.num_force_polys)))(ts)
+            if cfg.force_carrier:
+                carr = jax.vmap(jax.vmap(lambda t: spline.carrier_weights(
+                    bounds, t, cfg.carrier_ramp)))(ts)      # [S, FB, E]
+                f = f.at[..., 2].add(carr[..., e] * (params.mass * 9.81))
             cone = jnp.einsum('ri,sfi->sfr', pyr, f)        # [S, FB, 4]
             fz = f[..., 2]                                  # [S, FB]
             return cone.reshape(-1), fz.reshape(-1)
 
-        cone, fz = jax.vmap(per_ee)(bounds, fn)
+        cone, fz = jax.vmap(per_ee)(jnp.arange(E), bounds, fn)
         return cone.reshape(-1), fz.reshape(-1)
 
     def eebox_rows(u):
@@ -242,7 +249,37 @@ def assemble_ad(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
         td = jax.vmap(lambda b_ee, fh_ee, tt: spline.foot_position(
             b_ee, fh_ee, tt, cfg.swing_height, cfg.foot_offset)[:2])(
             bounds, fh, td_t).reshape(-1)
-        return jnp.concatenate([start, td])
+        parts = [start, td]
+        if cfg.raibert:
+            # Raibert heuristic (AddRaibertHeuristic, :939-1017): per
+            # in-horizon touchdown, foot_xy(td) - com_xy(node) -
+            # kappa * h_xy(node) with kappa = vel_gain * T_stance / (2 m)
+            # (the reference hardcodes vel_gain = 0.00).
+            td_all = bounds[:, 0::2]                         # [E, NT]
+            nodes = jnp.clip(jnp.floor(
+                (td_all - t0) / dt - 1e-2 / dt).astype(jnp.int32), 0, N)
+            # stance duration per touchdown; the final touchdown has no
+            # liftoff in the window -> reference fallback 1.0 s
+            # (mpc_single_rigid_body.cpp:994-999)
+            t_st = bounds[:, 1::2] - bounds[:, 0:-1:2]
+            t_stance = jnp.concatenate(
+                [t_st, jnp.ones_like(t_st[:, :1])],
+                axis=-1)[:, :td_all.shape[1]]                # [E, NT]
+            kappa = (cfg.raibert_vel_gain * t_stance
+                     / (2.0 * params.mass)).astype(dtype)
+
+            def per_td(b_ee, fh_ee, tt, node, kap):
+                foot = spline.foot_position(b_ee, fh_ee, tt,
+                                            cfg.swing_height,
+                                            cfg.foot_offset)[:2]
+                x_node = S_stack[node] @ u + c_stack[node]
+                return foot - x_node[0:2] - kap * x_node[3:5]
+
+            raib = jax.vmap(lambda b_ee, fh_ee, tts, nds, kaps: jax.vmap(
+                lambda tt, nd, kp: per_td(b_ee, fh_ee, tt, nd, kp))(
+                tts, nds, kaps))(bounds, fh, td_all, nodes, kappa)
+            parts.append(raib.reshape(-1))                   # [E*NT*2]
+        return jnp.concatenate(parts)
 
     ev0 = eq_vals(jnp.zeros_like(u_prev))
     A_eq = jax.jacrev(eq_vals)(u_prev)
@@ -259,9 +296,21 @@ def assemble_ad(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
         b_ee, fh_ee, tt, cfg.swing_height, cfg.foot_offset)[:2])(
         bounds, traj.footholds, td_t).reshape(-1)
 
-    b_eq = jnp.concatenate([ee_pos0[:, :2].reshape(-1) - ev0[:2 * E],
-                            td_now - ev0[2 * E:]])
-    mask = jnp.concatenate([jnp.ones(2 * E, bool), td_mask])
+    b_parts = [ee_pos0[:, :2].reshape(-1) - ev0[:2 * E],
+               td_now - ev0[2 * E:4 * E]]
+    mask_parts = [jnp.ones(2 * E, bool), td_mask]
+    if cfg.raibert:
+        td_all = bounds[:, 0::2]                             # [E, NT]
+        active = ((td_all > t0) & (td_all < t0 + N * dt)
+                  # TD pin wins over Raibert on the same touchdown
+                  & ~(td_active[:, None]
+                      & (jnp.abs(td_all - td_t[:, None]) < 1e-9)))
+        hip_b = jnp.tile(params.hip_offset.astype(dtype)[:, None, :],
+                         (1, td_all.shape[1], 1)).reshape(-1)
+        b_parts.append(hip_b - ev0[4 * E:])
+        mask_parts.append(jnp.repeat(active.reshape(-1), 2))
+    b_eq = jnp.concatenate(b_parts)
+    mask = jnp.concatenate(mask_parts)
     A_eq = jnp.where(mask[:, None], A_eq, 0.0)
     b_eq = jnp.where(mask, b_eq, 0.0)
 
@@ -319,6 +368,11 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
 
     # forces / feet along the linearization trajectory (at the lin times)
     f_traj = jnp.einsum('kesnw,esncw->kec', wf_lin, traj.f_nodes)
+    if cfg.force_carrier:
+        lin_times = times + 0.5 * dt if cfg.integrator == "rk2" else times
+        carr_lin = jax.vmap(lambda t: spline.carrier_weights(
+            bounds, t, cfg.carrier_ramp))(lin_times)         # [N+1, E]
+        f_traj = f_traj.at[..., 2].add(carr_lin * (params.mass * 9.81))
     feet_xy_lin = jnp.einsum('kem,emc->kec', wp_lin, traj.footholds)
     feet = jnp.concatenate([feet_xy_lin, z_lin[..., None]], axis=-1)
     # node-time feet xy for the EE-box constraint rows
@@ -465,10 +519,24 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
     lb_box = jnp.tile((hip - half_box).reshape(-1), (ks.shape[0],))
 
     G = jnp.concatenate([G_cone, G_fz, -G_fz, G_box, -G_box], axis=0)
+    if cfg.force_carrier:
+        # constant carrier offsets: rows constrain carrier + G u
+        carr_s = jax.vmap(lambda tt: spline.carrier_weights(
+            bounds, tt, cfg.carrier_ramp))(ts.reshape(-1))   # [E*S*FB, E]
+        carr_s = (carr_s.reshape(E, S_slots, FB, E)[idx_e, :, :, idx_e]
+                  * (params.mass * 9.81))                    # [E, S, FB]
+        h_cone = (cfg.friction_coef
+                  * jnp.tile(carr_s[..., None], (1, 1, 1, 4)).reshape(-1))
+        h_fz_up = cfg.force_bound - carr_s.reshape(-1)
+        h_fz_dn = carr_s.reshape(-1)
+    else:
+        h_cone = jnp.zeros(G_cone.shape[0], dtype)
+        h_fz_up = jnp.full(G_fz.shape[0], cfg.force_bound, dtype)
+        h_fz_dn = jnp.zeros(G_fz.shape[0], dtype)
     h_vec = jnp.concatenate([
-        jnp.zeros(G_cone.shape[0], dtype),
-        jnp.full(G_fz.shape[0], cfg.force_bound, dtype),
-        jnp.zeros(G_fz.shape[0], dtype),
+        h_cone,
+        h_fz_up,
+        h_fz_dn,
         ub_box - box_off,
         -(lb_box - box_off),
     ])
@@ -498,8 +566,46 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
     A_td = jnp.where(td_mask[:, None], A_td, 0.0)
     b_td = jnp.where(td_mask, b_td, 0.0)
 
-    A_eq = jnp.concatenate([A_start, A_td], axis=0)
-    b_eq = jnp.concatenate([b_start, b_td])
+    A_parts, b_parts = [A_start, A_td], [b_start, b_td]
+    if cfg.raibert:
+        # Raibert heuristic rows (AddRaibertHeuristic, :939-1017):
+        # foot_xy(td) - com_xy(node) - kappa h_xy(node) = hip_offset for
+        # every touchdown inside the horizon; kappa = vel_gain T_st/(2m)
+        # (reference ships the velocity coefficient as literal 0.00)
+        td_all = bounds[:, 0::2]                              # [E, NT]
+        NT = td_all.shape[1]
+        nodes = jnp.clip(jnp.floor(
+            (td_all - t0) / dt - 1e-2 / dt).astype(jnp.int32), 0, N)
+        t_st = bounds[:, 1::2] - bounds[:, 0:-1:2]
+        t_stance = jnp.concatenate(
+            [t_st, jnp.ones_like(t_st[:, :1])],
+            axis=-1)[:, :NT]                                  # [E, NT]
+        kappa = (cfg.raibert_vel_gain * t_stance
+                 / (2.0 * params.mass)).astype(dtype)
+        wp_r = jax.vmap(lambda b, ts_: jax.vmap(
+            lambda t: spline.foothold_weights(b, t))(ts_))(bounds, td_all)
+        A_r_p = jnp.zeros((E, NT, 2, E, NF, 2), dtype)
+        rw = jnp.einsum('ejm,cd->ejcmd', wp_r, jnp.eye(2, dtype=dtype))
+        A_r_p = A_r_p.at[idx_e, :, :, idx_e].set(rw)
+        A_r_u = jnp.concatenate([
+            jnp.zeros((E * NT * 2, nf), dtype),
+            A_r_p.reshape(E * NT * 2, E * NF * 2)], axis=1)
+        S_nodes = S_stack[nodes]                              # [E, NT, 12, n_u]
+        c_nodes = c_stack[nodes]                              # [E, NT, 12]
+        A_raib = A_r_u - (S_nodes[:, :, 0:2, :]
+                          + kappa[:, :, None, None]
+                          * S_nodes[:, :, 3:5, :]).reshape(E * NT * 2, n_u)
+        b_raib = (hip[:, None, :] + c_nodes[:, :, 0:2]
+                  + kappa[..., None] * c_nodes[:, :, 3:5]).reshape(-1)
+        active = ((td_all > t0) & (td_all < t0 + N * dt)
+                  & ~(td_active[:, None]
+                      & (jnp.abs(td_all - td_t[:, None]) < 1e-9)))
+        mask_r = jnp.repeat(active.reshape(-1), 2)
+        A_parts.append(jnp.where(mask_r[:, None], A_raib, 0.0))
+        b_parts.append(jnp.where(mask_r, b_raib, 0.0))
+
+    A_eq = jnp.concatenate(A_parts, axis=0)
+    b_eq = jnp.concatenate(b_parts)
 
     return CondensedQP(H=H, q=q, A=A_eq, b=b_eq, G=G, h=h_vec,
                        S=S_stack, c=c_stack, cost_const=cost_const)

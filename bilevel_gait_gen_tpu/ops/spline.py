@@ -225,6 +225,66 @@ def forces_all(sched_bounds: jax.Array, f_nodes: jax.Array, t: jax.Array,
         sched_bounds, f_nodes)
 
 
+def carrier_weights(all_bounds: jax.Array, t: jax.Array,
+                    ramp: float) -> jax.Array:
+    """[E] normalized static-support weights (sum = 1 whenever any stance).
+
+    The force spline pins its value to ZERO at every stance boundary
+    (reference NoDeriv boundary nodes) and spaces its F-1 interior nodes
+    proportionally to the stance length, so a plan structurally cannot hold
+    the robot's weight near a boundary (or anywhere early in a long merged
+    stance) — the planned total support dips below mg and the closed loop
+    tracks a falling plan (measured: 73 N of 135 N at t0 for standing).
+    The carrier reparameterizes planned forces as
+    ``f = carrier + spline(u)``: a trapezoidal weight-transfer profile per
+    stance (linear ramp of length `ramp` at each end, clipped to half the
+    stance) distributing m*g over the stance feet, normalized so total
+    planned support is exactly m*g at every instant at least one foot has
+    positive weight.  The QP optimizes the *delta* spline u around it; the
+    boundary zero-pin then means "default to static support", not "default
+    to free fall".  Piecewise-linear in `bounds` — differentiable for the
+    bilevel gradient.
+    """
+    P = all_bounds.shape[-1] - 1
+    S = (P + 1) // 2
+    t0 = all_bounds[:, 0:2 * S:2]                       # [E, S] stance starts
+    t1 = all_bounds[:, 1:2 * S + 1:2]                   # [E, S] stance ends
+    dur = t1 - t0
+    r = jnp.minimum(jnp.asarray(ramp, all_bounds.dtype),
+                    jnp.maximum(dur / 2, _EPS))
+    # ramps only exist at REAL contact transitions: a zero-length swing
+    # between two chained stance slots (the standing schedule) is not a
+    # liftoff, so the weight stays 1 across it — otherwise the carrier
+    # would dip to zero at an instant where no foot actually leaves ground
+    big = jnp.asarray(1e9, all_bounds.dtype)
+    nxt_swing = jnp.concatenate([t0[:, 1:], t0[:, -1:] + big],
+                                axis=-1) - t1            # [E, S]
+    # the first slot's preceding swing is outside the window (advance_window
+    # dropped it); infer its duration from the schedule's own tail cadence —
+    # the same pattern the window extension repeats.  Standing (zero-length
+    # swings) then keeps carrying across window shifts instead of re-ramping
+    # from zero at the shifted boundary (measured: planned support hit 0 at
+    # t=0.3 right after the first shift, unloading all four feet).
+    wd_tail = all_bounds[:, -1:] - all_bounds[:, -2:-1]  # [E, 1] last swing
+    prv_swing = t0 - jnp.concatenate([t0[:, :1] - wd_tail, t1[:, :-1]],
+                                     axis=-1)
+    sw_eps = 1e-4
+    inside = (t >= t0) & (t < t1)
+    up = jnp.where(prv_swing > sw_eps, jnp.clip((t - t0) / r, 0.0, 1.0), 1.0)
+    down = jnp.where(nxt_swing > sw_eps, jnp.clip((t1 - t) / r, 0.0, 1.0),
+                     1.0)
+    w = jnp.sum(inside * up * down * (dur > _EPS), axis=-1)  # [E]
+    return w / jnp.maximum(jnp.sum(w), 1e-3)
+
+
+def carrier_forces(all_bounds: jax.Array, t: jax.Array, total_weight,
+                   ramp: float) -> jax.Array:
+    """[E, 3] static-support carrier forces (z only); total_weight = m*g."""
+    w = carrier_weights(all_bounds, t, ramp) * total_weight
+    zero = jnp.zeros_like(w)
+    return jnp.stack([zero, zero, w], axis=-1)
+
+
 def foot_positions_all(sched_bounds: jax.Array, footholds: jax.Array,
                        t: jax.Array, swing_height: float,
                        foot_offset: float) -> jax.Array:

@@ -47,6 +47,30 @@ class SimConfig:
     contact_exit_margin: float = 0.006
 
 
+def settled_stand(model: RobotModel, sim: SimConfig,
+                  q_nominal: jax.Array) -> jax.Array:
+    """Static-equilibrium standing configuration on the penalty ground.
+
+    The raw stand configs have feet up to ~4 mm non-coplanar, so settling
+    by a plain base-z drop leaves some feet over-penetrated (measured:
+    ground forces [74, 74, 34, 34] N vs the even 34 N the plan assumes —
+    an 80 N net upward kick plus a pitch moment at t=0 that the closed
+    loop then has to fight).  This solves IK for every foot at the SAME
+    penetration m*g / (E * contact_kp), so the ground exactly carries the
+    weight at t=0.
+    """
+    from bilevel_gait_gen_tpu.control import ik as ik_mod
+    feet = rbd.ee_positions(model, q_nominal)
+    E = feet.shape[0]
+    pen = model.total_mass * 9.81 / (E * sim.contact_kp)
+    z_target = sim.foot_radius - pen
+    feet_t = feet.at[:, 2].set(z_target)
+    base_pos = q_nominal[0:3].at[2].add(
+        -(jnp.mean(feet[:, 2]) - z_target))
+    return ik_mod.solve_ik(model, base_pos, q_nominal[3:7], feet_t,
+                           q_nominal, iters=30)
+
+
 def contact_forces(sim: SimConfig, feet: jax.Array,
                    feet_vel: jax.Array) -> jax.Array:
     """[E, 3] penalty ground forces at the foot points (flat ground z=0)."""

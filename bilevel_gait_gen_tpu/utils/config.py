@@ -63,6 +63,19 @@ class MPCConfig:
     force_cost: float = 0.0
     diag_reg: float = 1e-3
 
+    # Raibert-heuristic touchdown constraint (AddRaibertHeuristic,
+    # mpc_single_rigid_body.cpp:939-1017): equality rows pinning each
+    # in-horizon touchdown foothold to COM_xy(td node) + hip offset
+    # (+ raibert_vel_gain * T_stance/2 * v_com; the reference ships the
+    # velocity coefficient literally zeroed, `-0.00*contact_time/...`).
+    # Disabled by default, exactly like the reference (the call site is
+    # commented out in mpc_single_rigid_body.cpp::AddConstraints).  Note:
+    # when enabled together with the TD-pin constraint both can claim the
+    # same touchdown; the TD pin wins (the Raibert row is masked off for
+    # that EE) to keep the equality block consistent.
+    raibert: bool = False
+    raibert_vel_gain: float = 0.0
+
     # SQP / merit (reference mu_=5000 mpc.cpp:65; <=10 init iters mpc.cpp:85)
     merit_mu: float = 5000.0
     max_ls_iters: int = 10
@@ -105,6 +118,17 @@ class MPCConfig:
     # (docs/DESIGN.md "Penalty-engine closed-loop stability").  >0 keeps at
     # least one pair mid-stance at every boundary instant.
     double_support: float = 0.0
+    # Static-support force carrier (ops/spline.py::carrier_weights): plan
+    # forces = carrier(t, bounds) + spline(u).  The carrier distributes m*g
+    # over the stance feet with `carrier_ramp`-long weight-transfer ramps,
+    # so planned total support is m*g by construction at every instant —
+    # the QP optimizes deltas around it.  Off by default (reference
+    # semantics: raw zero-boundary splines); the on-device penalty-ground
+    # engine enables it (docs/DESIGN.md "Penalty-engine closed-loop
+    # stability": the measured root cause is the plan itself dipping below
+    # weight support at stance boundaries/starts).
+    force_carrier: bool = False
+    carrier_ramp: float = 0.1
 
     # Outer (gait) optimizer
     min_dwell: float = 0.2          # gait_optimizer.cpp:412

@@ -85,3 +85,49 @@ def test_fast_assembly_grad_wrt_bounds_matches():
     g_a = jax.grad(lambda b: obj(qp_mod.assemble_ad, b))(traj.sched.bounds)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_a), atol=1e-5,
                                rtol=1e-4)
+
+
+def test_raibert_rows_match_and_constrain():
+    """Raibert heuristic (AddRaibertHeuristic, mpc_single_rigid_body.cpp:
+    939-1017): fast and autodiff assemblies agree, the extra rows appear
+    only with the flag on, and an active row evaluates to
+    foot_xy(td) - com_xy(node) - kappa h_xy(node) = hip_offset."""
+    import dataclasses
+    rcfg = dataclasses.replace(CFG, raibert=True, raibert_vel_gain=0.1)
+    traj, feet0 = _setup(perturb=True)
+    x_des = srb.manifold_to_tangent(X0)
+    box = jnp.asarray(CFG.ee_box_size, jnp.float64)
+    t0 = jnp.array(0.0)
+    qp_f = qp_mod.assemble(rcfg, PARAMS, traj, X0, t0, feet0, x_des, box)
+    qp_a = qp_mod.assemble_ad(rcfg, PARAMS, traj, X0, t0, feet0, x_des, box)
+    np.testing.assert_allclose(np.asarray(qp_f.A), np.asarray(qp_a.A),
+                               atol=1e-7, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(qp_f.b), np.asarray(qp_a.b),
+                               atol=1e-7, rtol=1e-6)
+
+    qp_off = qp_mod.assemble(CFG, PARAMS, traj, X0, t0, feet0, x_des, box)
+    E = CFG.num_ee
+    NT = traj.sched.bounds[:, 0::2].shape[1]
+    assert qp_f.A.shape[0] == qp_off.A.shape[0] + E * NT * 2
+
+    # semantic check on one active row: EE 1 (starts in contact) has its
+    # second touchdown (even boundary index 2) inside the horizon
+    ee, j = 1, 1
+    td_t = float(traj.sched.bounds[ee, 2 * j])
+    assert 0.0 < td_t < CFG.horizon
+    node = int(np.floor(td_t / CFG.dt - 1e-2 / CFG.dt))
+    t_st = float(traj.sched.bounds[ee, 2 * j + 1] - traj.sched.bounds[ee, 2 * j])
+    kappa = rcfg.raibert_vel_gain * t_st / (2.0 * float(PARAMS.mass))
+    row0 = qp_off.A.shape[0] + (ee * NT + j) * 2
+    u = jnp.asarray(np.random.default_rng(2).standard_normal(CFG.num_u))
+    from bilevel_gait_gen_tpu.ops import spline as spline_mod
+    _, fh = qp_mod.make_unravel(rcfg)(u)
+    foot = spline_mod.foot_position(traj.sched.bounds[ee], fh[ee],
+                                    jnp.asarray(td_t), rcfg.swing_height,
+                                    rcfg.foot_offset)[:2]
+    x_node = qp_f.S[node] @ u + qp_f.c[node]
+    expect = foot - x_node[0:2] - kappa * x_node[3:5]
+    got = qp_f.A[row0:row0 + 2] @ u - qp_f.b[row0:row0 + 2] \
+        + np.asarray(PARAMS.hip_offset)[ee]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=1e-6, rtol=1e-5)

@@ -7,6 +7,7 @@ contract is: runs, stays finite, and the standing robot stays upright.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bilevel_gait_gen_tpu.control import wbqp
 from bilevel_gait_gen_tpu.models import a1, rbd, srb
@@ -95,3 +96,42 @@ def test_closed_loop_with_gait_opt_compiles():
         n_ticks=6, control_dt=0.01, mpc_every=2, gait_opt_every=2)
     assert np.all(np.isfinite(np.asarray(log.q)))
     assert np.all(np.isfinite(np.asarray(st_out.traj.sched.bounds)))
+
+
+@pytest.mark.slow
+def test_closed_loop_standing_5s():
+    """Sustained standing on the penalty ground: 5 s / 100 MPC steps with
+    bounded COM error (the round-1 engine collapsed within ~0.5 s; fixed by
+    the static-support force carrier + chained standing schedule +
+    equilibrium IK settle — docs/DESIGN.md 'Round-2 resolution')."""
+    dtype = jnp.float32
+    cfg = MPCConfig(ipm_iters=18, force_carrier=True).validate()
+    wb_cfg = wbqp.WBQPConfig(torque_bound=30.0)
+    sim = engine.SimConfig()
+    model = a1.make_a1()
+    q0 = engine.settled_stand(model, sim, jnp.asarray(a1.stand_config(),
+                                                      dtype))
+    params = srb.make_srb_params(model, q0)
+    x0 = jnp.zeros(13, dtype).at[0:3].set(q0[0:3]).at[9].set(1.0)
+    feet0 = rbd.ee_positions(model, q0).astype(dtype)
+    traj = default_trajectory(cfg, gait.make_standing(cfg), x0,
+                              feet0[:, :2])
+    st = solver.SolverState(traj=traj,
+                            ee_box=jnp.asarray(cfg.ee_box_size, dtype))
+    x_des = srb.manifold_to_tangent(x0)
+    st, stats = jax.jit(lambda s, x, e: solver.create_initial_run(
+        cfg, params, s, x, e, x_des))(st, x0, feet0)
+    assert bool(stats.solved)
+
+    n_ticks = 5000
+    st_out, log = jax.jit(lambda s, q, v: engine.closed_loop(
+        model, params, cfg, wb_cfg, sim, s, q, v, x_des,
+        n_ticks=n_ticks, control_dt=0.001, mpc_every=50,
+        contact_sync=True))(st, q0, jnp.zeros(model.nv, dtype))
+    q = np.asarray(log.q)
+    solved = np.asarray(log.solved)[np.arange(0, n_ticks, 50)]
+    assert solved.mean() > 0.95, solved.mean()
+    z0 = float(q0[2])
+    assert q[:, 2].min() > z0 - 0.06, q[:, 2].min()
+    assert q[:, 2].max() < z0 + 0.06, q[:, 2].max()
+    assert np.abs(q[:, 0:2]).max() < 0.10, np.abs(q[:, 0:2]).max()

@@ -276,24 +276,72 @@ def test_double_support_trot_keeps_support():
     np.testing.assert_allclose(swings, d - ov, atol=1e-9)
 
 
-def test_standing_schedule_has_no_interior_zero_instants():
-    """make_standing (DESIGN.md stability fix #1: merged stance splines)
-    keeps every structurally-zero force instant outside [t0, t0+horizon]."""
-    cfg = MPCConfig().validate()
+def test_standing_schedule_stands_forever():
+    """make_standing: chained 2d stances with zero-length swings — stance
+    contact flags at every t, and advance_window's pattern-preserving
+    extension keeps it standing indefinitely (the old merged-slot layout
+    ran out at t0 + P*d and the extension turned it into a trot)."""
+    cfg = MPCConfig(force_carrier=True).validate()
     standing = gait.make_standing(cfg)
     b = np.asarray(standing.bounds)
-    # one real stance from the past to beyond the window
     assert b[0, 0] < 0.0
-    assert b[0, 1] > cfg.horizon
-    # all feet in stance throughout
+    # all feet in stance throughout the window
     for t in [0.0, 0.3, 0.6, cfg.horizon]:
         flags = gait.contact_flags(standing, jnp.asarray(t))
-        assert np.all(np.asarray(flags))
-    # interior force capacity on a dense grid never zero
-    f_nodes = jnp.ones((cfg.num_ee, cfg.num_stance_slots,
-                        cfg.num_force_polys - 1, 3, 2)
-                       ).at[..., 1].set(0.0)   # unit values, zero derivs
+        assert np.all(np.asarray(flags)), t
+    # carrier-inclusive planned support never dips below m*g anywhere
+    mg = 134.8
     for t in np.linspace(0.0, cfg.horizon, 101):
-        f = spline.forces_all(standing.bounds, f_nodes, jnp.asarray(t),
-                              cfg.num_force_polys)
-        assert float(jnp.sum(f[:, 2])) > 0.05
+        c = spline.carrier_forces(standing.bounds, jnp.asarray(t), mg,
+                                  cfg.carrier_ramp)
+        np.testing.assert_allclose(float(jnp.sum(c[:, 2])), mg, rtol=1e-6)
+    # window advance far past the original slots: still standing
+    sched2 = standing
+    for t0 in [1.0, 2.5, 4.0, 7.0]:
+        sched2 = gait.advance_window(sched2, jnp.asarray(t0), cfg)
+        for dt_probe in [0.0, 0.15, 0.45, cfg.horizon]:
+            flags = gait.contact_flags(sched2, jnp.asarray(t0 + dt_probe))
+            assert np.all(np.asarray(flags)), (t0, dt_probe)
+        c = spline.carrier_forces(sched2.bounds, jnp.asarray(t0 + 0.33), mg,
+                                  cfg.carrier_ramp)
+        np.testing.assert_allclose(float(jnp.sum(c[:, 2])), mg, rtol=1e-6)
+
+
+def test_carrier_total_support_is_mg_everywhere():
+    """Static-support carrier (ops/spline.py::carrier_weights): planned
+    total support equals m*g at EVERY instant for both the overlapped trot
+    and merged standing — the structural fix for the penalty-engine
+    free-fall plans (the spline alone pins support to zero at stance
+    boundaries)."""
+    mg = 134.8
+    cfg_ov = MPCConfig(double_support=0.1, force_carrier=True).validate()
+    cfg_std = MPCConfig(force_carrier=True).validate()
+    # (the ov=0 trot genuinely exchanges support instantaneously at shared
+    # boundaries — all ramps hit zero there — which is exactly why the
+    # on-device engine pairs the carrier with double_support > 0)
+    for cfg, sched in [(cfg_ov, gait.make_trot(cfg_ov)),
+                       (cfg_std, gait.make_standing(cfg_std))]:
+        for t in np.linspace(0.0, cfg.horizon, 201):
+            c = spline.carrier_forces(sched.bounds, jnp.asarray(t), mg,
+                                      cfg.carrier_ramp)
+            np.testing.assert_allclose(float(jnp.sum(c[:, 2])), mg,
+                                       rtol=1e-6)
+            assert np.all(np.asarray(c[:, 2]) >= 0.0)
+            # xy components are zero (carrier is vertical support only)
+            np.testing.assert_allclose(np.asarray(c[:, :2]), 0.0)
+
+
+def test_carrier_zero_in_swing_and_continuous():
+    """Carrier force is zero for swing feet and continuous in t."""
+    cfg = MPCConfig(double_support=0.1, force_carrier=True).validate()
+    sched = gait.make_trot(cfg)
+    mg = 134.8
+    prev = None
+    for t in np.linspace(0.0, cfg.horizon, 801):
+        c = spline.carrier_forces(sched.bounds, jnp.asarray(t), mg,
+                                  cfg.carrier_ramp)
+        flags = np.asarray(gait.contact_flags(sched, jnp.asarray(t)))
+        assert np.all(np.asarray(c[~flags, 2]) < 1e-6)
+        if prev is not None:
+            assert np.max(np.abs(np.asarray(c) - prev)) < mg * 0.02
+        prev = np.asarray(c)
