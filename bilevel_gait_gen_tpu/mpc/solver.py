@@ -46,9 +46,11 @@ def make_state(cfg: MPCConfig, traj: Trajectory, ee_box: jax.Array,
         return SolverState(traj=traj, ee_box=ee_box, qp_warm=None)
     dtype = ee_box.dtype
     n_u = cfg.num_u
-    p = 4 * cfg.num_ee
     FB, S, E, N = (cfg.samples_per_stance, cfg.num_stance_slots, cfg.num_ee,
                    cfg.num_nodes)
+    p = 4 * E
+    if cfg.raibert:
+        p += E * (cfg.num_phase_slots // 2 + 1) * 2
     m = E * S * FB * 4 + 2 * E * S * FB + 2 * (N + 1 - cfg.ee_node_start) * E * 2
     # gap = inf is the "not yet a real solution" sentinel: the IPM falls
     # back to its Mehrotra cold start until the first solve completes

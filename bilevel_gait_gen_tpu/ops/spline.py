@@ -183,7 +183,11 @@ def foothold_weights(bounds: jax.Array, t: jax.Array) -> jax.Array:
     tau = jnp.clip((t - t1) / dur, 0.0, 1.0)
     blend = tau * tau * (3.0 - 2.0 * tau)
     w = jnp.zeros(n_fh, dtype=bounds.dtype)
-    w = w.at[:S].add(jnp.where(stance_active, 1.0, 0.0))
+    # NOTE: stance_active.astype, not where(cond, 1.0, 0.0) — scalar-only
+    # where branches promote to f64 under jax_enable_x64 and silently run
+    # all downstream foot-position math at doubled precision (test envs
+    # then diverge from the f32 production rollout)
+    w = w.at[:S].add(stance_active.astype(bounds.dtype))
     w = w.at[:S].add(jnp.where(swing_active, 1.0 - blend, 0.0))
     w = w.at[1:].add(jnp.where(swing_active, blend, 0.0))
     # before the first stance (t < t0[0]): hold foothold 0

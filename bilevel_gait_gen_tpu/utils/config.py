@@ -217,5 +217,9 @@ def load_yaml(path: str) -> MPCConfig:
         force_cost=get("force_cost", 0.0),
         phase_duration=phase,
         double_support=get("double_support", 0.0),
+        force_carrier=bool(get("force_carrier", False)),
+        carrier_ramp=get("carrier_ramp", 0.1),
+        raibert=bool(get("raibert", False)),
+        raibert_vel_gain=get("raibert_vel_gain", 0.0),
     )
     return cfg.validate()

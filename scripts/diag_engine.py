@@ -35,10 +35,14 @@ if os.environ.get("DIAG_CPU"):
 n_ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
 control_dt = float(os.environ.get("CONTROL_DT", "0.001"))
 mpc_every = int(os.environ.get("MPC_EVERY", "50"))
-contact_sync = bool(int(os.environ.get("CONTACT_SYNC", "0")))
+contact_sync = bool(int(os.environ.get("CONTACT_SYNC", "1")))
 dtype = jnp.float32
 cfg = MPCConfig(ipm_iters=18,
-                double_support=float(os.environ.get("DOUBLE_SUPPORT", "0")),
+                double_support=float(os.environ.get("DOUBLE_SUPPORT", "0.15")),
+                force_carrier=bool(int(os.environ.get("FORCE_CARRIER", "1"))),
+                carrier_ramp=float(os.environ.get("CARRIER_RAMP", "0.15")),
+                swing_height=float(os.environ.get("SWING_HEIGHT", "0.05")),
+                raibert=bool(int(os.environ.get("RAIBERT", "0"))),
                 ).validate()
 damp = float(os.environ.get("CONTACT_DAMP", "0"))
 gs = float(os.environ.get("GAIN_SCALE", "1"))       # torso PD gain scale
@@ -46,23 +50,22 @@ tb = float(os.environ.get("TORQUE_BOUND", "30"))
 wb_cfg = wbqp.WBQPConfig(contact_damp=damp, torque_bound=tb,
                          kp_base_pos=9000.0 * gs, kd_base_pos=3000.0 * gs,
                          kp_base_ang=1000.0 * gs, kd_base_ang=100.0 * gs)
-sim = engine.SimConfig(substeps=int(os.environ.get("SUBSTEPS", "1")),
+sim = engine.SimConfig(substeps=int(os.environ.get("SUBSTEPS", "4")),
                        contact_kp=float(os.environ.get("CONTACT_KP", "12000")),
                        contact_kd=float(os.environ.get("CONTACT_KD", "120")),
                        tangent_vel_reg=float(os.environ.get("TVREG", "0.05")))
 print(f"damp={damp} sim={sim}")
 
 model = a1.make_a1()
-q0_np = np.asarray(a1.stand_config(), np.float64)
-feet_z0 = rbd.ee_positions(model, jnp.asarray(q0_np, dtype))[:, 2]
-pen_eq = float(model.total_mass) * 9.81 / (4 * sim.contact_kp)
-q0_np[2] -= float(jnp.max(feet_z0)) - sim.foot_radius + pen_eq
-q0 = jnp.asarray(q0_np, dtype)
+# static-equilibrium settle: every foot at penetration mg/(E kp)
+q0 = engine.settled_stand(model, sim, jnp.asarray(a1.stand_config(), dtype))
 params = srb.make_srb_params(model, q0)
-x0 = jnp.zeros(13, dtype).at[2].set(float(q0_np[2])).at[9].set(1.0)
+x0 = jnp.zeros(13, dtype).at[0:3].set(q0[0:3]).at[9].set(1.0)
 feet0 = rbd.ee_positions(model, q0).astype(dtype)
 traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
-st = solver.SolverState(traj=traj, ee_box=jnp.asarray(cfg.ee_box_size, dtype))
+# warm-started solver state: carries the IPM solution across ticks
+# (measured: 100% solved vs ~95% cold)
+st = solver.make_state(cfg, traj, jnp.asarray(cfg.ee_box_size, dtype))
 x_des = srb.manifold_to_tangent(x0)
 
 st, stats = jax.jit(lambda s, x, e: solver.create_initial_run(

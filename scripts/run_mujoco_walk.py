@@ -51,6 +51,24 @@ def main():
         q0_np = np.asarray(robot_mod.stand_config(), np.float64)
         wb_cfg = wbqp.WBQPConfig(torque_bound=float(model.effort_limit[0]),
                                  kp_joint=900.0, kd_joint=30.0)
+    elif "--robot=adam" in sys.argv:
+        # Adam biped (reference apps/adam_configuration.yaml: POINT_FEET,
+        # mu=0.3, torque bound 33.5; the reference ships controller_type
+        # PD_GRAV_COMP for it — the full-MPC biped loop is new here).  The
+        # static-support carrier + double-support overlap carry the weight
+        # transfer between single-stance phases.
+        from bilevel_gait_gen_tpu.models import adam as robot_mod
+        model = robot_mod.make_adam()
+        q0_np = np.asarray(robot_mod.stand_config(), np.float64)
+        cfg = MPCConfig(num_ee=2, ipm_iters=18, friction_coef=0.3,
+                        force_bound=250.0, swing_height=0.05,
+                        force_carrier=True, double_support=0.1,
+                        carrier_ramp=0.1, ee_box_size=(0.25, 0.25),
+                        q_diag=(600.0, 600.0, 8000.0, 0.1, 0.1, 10.0,
+                                6000.0, 6000.0, 6000.0, 5.0, 5.0, 5.0),
+                        ).validate()
+        wb_cfg = wbqp.WBQPConfig(torque_bound=33.5, kp_joint=200.0,
+                                 kd_joint=20.0, friction_coef=0.3)
     else:
         model = a1.make_a1()
         q0_np = np.asarray(a1.stand_config(), np.float64)

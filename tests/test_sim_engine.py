@@ -135,3 +135,81 @@ def test_closed_loop_standing_5s():
     assert q[:, 2].min() > z0 - 0.06, q[:, 2].min()
     assert q[:, 2].max() < z0 + 0.06, q[:, 2].max()
     assert np.abs(q[:, 0:2]).max() < 0.10, np.abs(q[:, 0:2]).max()
+
+
+@pytest.mark.slow
+def test_closed_loop_trot_5s():
+    """Sustained TROT on the penalty ground: 5 s / 100 MPC steps with
+    bounded COM error and >95% solved — the round-2 acceptance bar for the
+    all-on-device path (VERDICT item 3; reference analog: the 9500-step
+    MuJoCo loop, test/simulation_mpc.cpp:186).  Recipe: static-support
+    carrier + 0.15 s double-support overlap + warm-started IPM +
+    contact_sync with hysteresis gating (docs/DESIGN.md 'Round-2
+    resolution'); measured to survive 10 s.
+
+    Runs in a SUBPROCESS with x64 disabled: the production engine is pure
+    f32, and the suite's jax_enable_x64 changes scalar widths enough to
+    alter XLA fusion and (chaotically) the rollout — the contract under
+    test is the production configuration."""
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r'''
+import sys, json
+sys.path.insert(0, sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", sys.argv[1] + "/.jax_cache")
+import jax.numpy as jnp, numpy as np
+from bilevel_gait_gen_tpu.control import wbqp
+from bilevel_gait_gen_tpu.models import a1, rbd, srb
+from bilevel_gait_gen_tpu.mpc import gait, solver
+from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
+from bilevel_gait_gen_tpu.sim import engine
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+dtype = jnp.float32
+cfg = MPCConfig(ipm_iters=18, force_carrier=True, double_support=0.15,
+                carrier_ramp=0.15, swing_height=0.05).validate()
+wb_cfg = wbqp.WBQPConfig(torque_bound=30.0)
+sim = engine.SimConfig()
+model = a1.make_a1()
+q0 = engine.settled_stand(model, sim, jnp.asarray(a1.stand_config(), dtype))
+params = srb.make_srb_params(model, q0)
+x0 = jnp.zeros(13, dtype).at[0:3].set(q0[0:3]).at[9].set(1.0)
+feet0 = rbd.ee_positions(model, q0).astype(dtype)
+traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
+st = solver.make_state(cfg, traj, jnp.asarray(cfg.ee_box_size, dtype))
+x_des = srb.manifold_to_tangent(x0)
+st, stats = jax.jit(lambda s, x, e: solver.create_initial_run(
+    cfg, params, s, x, e, x_des))(st, x0, feet0)
+n_ticks = 5000
+st_out, log = jax.jit(lambda s, q, v: engine.closed_loop(
+    model, params, cfg, wb_cfg, sim, s, q, v, x_des,
+    n_ticks=n_ticks, control_dt=0.001, mpc_every=50,
+    contact_sync=True))(st, q0, jnp.zeros(model.nv, dtype))
+q = np.asarray(log.q)
+solved = np.asarray(log.solved)[np.arange(0, n_ticks, 50)]
+print("RESULT " + json.dumps({
+    "init_solved": bool(stats.solved),
+    "solved_frac": float(solved.mean()),
+    "z0": float(q0[2]),
+    "z_min": float(q[:, 2].min()), "z_max": float(q[:, 2].max()),
+    "xy_max": float(np.abs(q[:, 0:2]).max()),
+    "finite": bool(np.all(np.isfinite(q)))}))
+'''
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run([sys.executable, "-c", script, repo],
+                         capture_output=True, text=True, timeout=1500,
+                         env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+    assert line, out.stdout[-2000:]
+    r = json.loads(line[-1][len("RESULT "):])
+    assert r["init_solved"], r
+    assert r["finite"], r
+    assert r["solved_frac"] > 0.95, r
+    assert r["z_min"] > r["z0"] - 0.11, r       # bounded COM error
+    assert r["xy_max"] < 0.20, r
