@@ -36,12 +36,20 @@ from bilevel_gait_gen_tpu.utils.config import MPCConfig
 @highest_matmul_precision
 def reconstruct_srb_state(model: RobotModel, params: srb.SRBParams,
                           q: jax.Array, v: jax.Array) -> jax.Array:
-    """SRB manifold state [p, h, quat, w] from the full robot (q, v)."""
-    p = q[0:3]
+    """SRB manifold state [p, h, quat, w] from the full robot (q, v).
+
+    p is the whole-body COM (base origin + rotated nominal base->COM
+    offset) and h its linear momentum m*(v_base + w x R c) — the reference
+    reconstructs from Pinocchio's centroidal frame
+    (mpc_controller.cpp:229-271)."""
     quat = quat_ops.normalize(q[3:7])
-    h = params.mass * v[0:3]
-    # angular momentum about the COM in world axes: w = R (Ir omega_body)
     R = quat_ops.to_matrix(quat)
+    c_world = R @ params.com_offset
+    p = q[0:3] + c_world
+    omega_world = R @ v[3:6]
+    v_com = v[0:3] + jnp.cross(omega_world, c_world)
+    h = params.mass * v_com
+    # angular momentum about the COM in world axes: w = R (Ir omega_body)
     w = R @ (params.inertia @ v[3:6])
     return jnp.concatenate([p, h, quat, w])
 
@@ -64,12 +72,20 @@ def interpolate_state(traj: Trajectory, t: jax.Array, t0: jax.Array,
 
 def targets_from_traj(model: RobotModel, cfg: MPCConfig, traj: Trajectory,
                       t: jax.Array, t0: jax.Array,
-                      q_guess: jax.Array):
-    """(q_des, v_des, f_des, contact) at time t from the MPC solution."""
+                      q_guess: jax.Array,
+                      com_offset: jax.Array | None = None):
+    """(q_des, v_des, f_des, contact) at time t from the MPC solution.
+
+    com_offset: body-frame base->COM offset (SRBParams.com_offset) — the
+    plan's p is the COM; the IK pins the base origin."""
     x = interpolate_state(traj, t, t0, cfg.dt)
     feet = spline.foot_positions_all(traj.sched.bounds, traj.footholds, t,
                                      cfg.swing_height, cfg.foot_offset)
-    q_des = ik_mod.solve_ik(model, x[0:3], x[6:10], feet, q_guess)
+    base_pos = x[0:3]
+    if com_offset is not None:
+        base_pos = base_pos - quat_ops.to_matrix(
+            quat_ops.normalize(x[6:10])) @ com_offset
+    q_des = ik_mod.solve_ik(model, base_pos, x[6:10], feet, q_guess)
 
     # foot velocities from the spline (finite difference of the pure eval)
     eps = jnp.asarray(1e-4, x.dtype)
@@ -100,13 +116,15 @@ def control_action(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
     contact (reference qp_control.cpp:207-210).
     """
     x, q_des, feet_vel, f_des, contact = targets_from_traj(
-        model, cfg, traj, t, t0, q)
+        model, cfg, traj, t, t0, q, params.com_offset)
     if measured_contact is not None:
         contact = contact & measured_contact
     f_des = f_des * contact[:, None]
-    base_vel = x[3:6] / params.mass
     R = quat_ops.to_matrix(x[6:10])
     omega_body = jnp.linalg.solve(params.inertia, R.T @ x[10:13])
+    # plan h is the COM momentum; base velocity = v_com - w x (R c)
+    v_com = x[3:6] / params.mass
+    base_vel = v_com - jnp.cross(R @ omega_body, R @ params.com_offset)
     v_des = ik_mod.ik_velocities(model, q_des, base_vel, omega_body, feet_vel)
     return wbqp.compute_torques(model, wb_cfg, q, v, contact, q_des, v_des,
                                 f_des)

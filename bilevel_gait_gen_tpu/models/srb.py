@@ -54,6 +54,18 @@ class SRBParams:
     inertia: jax.Array       # [3,3] composite rotational inertia at nominal q
     inertia_inv: jax.Array   # [3,3]
     hip_offset: jax.Array    # [E, 2] xy offsets from COM to EE-box center
+    # body-frame offset from the floating-base origin to the whole-body COM
+    # at the nominal configuration.  The SRB state's p IS the COM (the
+    # reference builds its SRB from Pinocchio's centroidal frame); using
+    # the base origin instead puts every torque arm (r_e - p) off by the
+    # base->COM offset — negligible for A1 (~mm), fatal for the Adam biped
+    # (7 cm vertical, 2.6 cm fore-aft: a ~10 Nm phantom pitch torque).
+    com_offset: jax.Array    # [3]
+    # raw COM->hip xy offsets WITHOUT the EE-box margins (the reference's
+    # GetCOMToHip used by the Raibert heuristic's constant term,
+    # mpc_single_rigid_body.cpp:1009; hip_offset above is the margin-widened
+    # EE-box center)
+    hip_offset_raw: jax.Array  # [E, 2]
 
 
 def make_srb_params(model: RobotModel, nominal_q: jax.Array,
@@ -68,8 +80,10 @@ def make_srb_params(model: RobotModel, nominal_q: jax.Array,
     dtype = nominal_q.dtype
     Ir = rbd.composite_inertia_about_com(model, nominal_q).astype(dtype)
     hips = rbd.hip_positions(model, nominal_q)       # [E, 3] world
-    base = nominal_q[0:3]
-    off = hips[:, :2] - base[None, :2]
+    com = rbd.com_position(model, nominal_q)
+    R0 = quat_ops.to_matrix(quat_ops.normalize(nominal_q[3:7]))
+    com_offset = R0.T @ (com - nominal_q[0:3])
+    off = hips[:, :2] - com[None, :2]
     off_x = off[:, 0] + box_x_margin
     off_y = off[:, 1] + jnp.sign(off[:, 1]) * box_y_margin
     return SRBParams(
@@ -77,6 +91,8 @@ def make_srb_params(model: RobotModel, nominal_q: jax.Array,
         inertia=Ir,
         inertia_inv=jnp.linalg.inv(Ir).astype(dtype),
         hip_offset=jnp.stack([off_x, off_y], axis=-1).astype(dtype),
+        com_offset=com_offset.astype(dtype),
+        hip_offset_raw=off.astype(dtype),
     )
 
 

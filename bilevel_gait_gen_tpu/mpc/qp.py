@@ -301,11 +301,18 @@ def assemble_ad(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
     mask_parts = [jnp.ones(2 * E, bool), td_mask]
     if cfg.raibert:
         td_all = bounds[:, 0::2]                             # [E, NT]
+        # a "touchdown" after a zero-length swing (chained standing
+        # stances) is not a real landing: no Raibert row
+        prv_sw = td_all - jnp.concatenate(
+            [td_all[:, :1] - 1.0,
+             bounds[:, 1::2][:, :td_all.shape[1] - 1]], axis=-1)
         active = ((td_all > t0) & (td_all < t0 + N * dt)
+                  & (prv_sw > 1e-4)
                   # TD pin wins over Raibert on the same touchdown
                   & ~(td_active[:, None]
                       & (jnp.abs(td_all - td_t[:, None]) < 1e-9)))
-        hip_b = jnp.tile(params.hip_offset.astype(dtype)[:, None, :],
+        # raw COM->hip (GetCOMToHip), NOT the margin-widened EE-box center
+        hip_b = jnp.tile(params.hip_offset_raw.astype(dtype)[:, None, :],
                          (1, td_all.shape[1], 1)).reshape(-1)
         b_parts.append(hip_b - ev0[4 * E:])
         mask_parts.append(jnp.repeat(active.reshape(-1), 2))
@@ -595,9 +602,14 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
         A_raib = A_r_u - (S_nodes[:, :, 0:2, :]
                           + kappa[:, :, None, None]
                           * S_nodes[:, :, 3:5, :]).reshape(E * NT * 2, n_u)
-        b_raib = (hip[:, None, :] + c_nodes[:, :, 0:2]
+        b_raib = (params.hip_offset_raw.astype(dtype)[:, None, :]
+                  + c_nodes[:, :, 0:2]
                   + kappa[..., None] * c_nodes[:, :, 3:5]).reshape(-1)
+        prv_sw = td_all - jnp.concatenate(
+            [td_all[:, :1] - 1.0,
+             bounds[:, 1::2][:, :td_all.shape[1] - 1]], axis=-1)
         active = ((td_all > t0) & (td_all < t0 + N * dt)
+                  & (prv_sw > 1e-4)
                   & ~(td_active[:, None]
                       & (jnp.abs(td_all - td_t[:, None]) < 1e-9)))
         mask_r = jnp.repeat(active.reshape(-1), 2)

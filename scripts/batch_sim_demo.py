@@ -89,7 +89,8 @@ def main():
     q0_np[2] -= float(jnp.max(feet_z0)) - sim.foot_radius + pen_eq
     q0 = jnp.asarray(q0_np, dtype)
     params = srb.make_srb_params(model, q0)
-    x0 = jnp.zeros(13, dtype).at[2].set(float(q0_np[2])).at[9].set(1.0)
+    from bilevel_gait_gen_tpu.control import mpc_controller as _mc
+    x0 = _mc.reconstruct_srb_state(model, params, q0, jnp.zeros(model.nv, dtype))
     feet0 = rbd.ee_positions(model, q0).astype(dtype)
     sched = (gait.make_trot(cfg) if "--trot" in sys.argv
              else gait.make_standing(cfg))

@@ -60,7 +60,8 @@ model = a1.make_a1()
 # static-equilibrium settle: every foot at penetration mg/(E kp)
 q0 = engine.settled_stand(model, sim, jnp.asarray(a1.stand_config(), dtype))
 params = srb.make_srb_params(model, q0)
-x0 = jnp.zeros(13, dtype).at[0:3].set(q0[0:3]).at[9].set(1.0)
+from bilevel_gait_gen_tpu.control import mpc_controller as _mc
+x0 = _mc.reconstruct_srb_state(model, params, q0, jnp.zeros(model.nv, dtype))
 feet0 = rbd.ee_positions(model, q0).astype(dtype)
 traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
 # warm-started solver state: carries the IPM solution across ticks

@@ -63,15 +63,35 @@ def main():
         cfg = MPCConfig(num_ee=2, ipm_iters=18, friction_coef=0.3,
                         force_bound=250.0, swing_height=0.05,
                         force_carrier=True, double_support=0.1,
-                        carrier_ramp=0.1, ee_box_size=(0.25, 0.25),
-                        q_diag=(600.0, 600.0, 8000.0, 0.1, 0.1, 10.0,
+                        carrier_ramp=0.1, ee_box_size=(0.3, 0.3),
+                        # Raibert capture-point touchdowns: biped point
+                        # feet cannot balance without stepping feedback;
+                        # foothold = COM(td) + hip + (T_st/2) v_com
+                        raibert=True, raibert_vel_gain=1.0,
+                        # heavy linear-momentum weight: the COM is
+                        # directly force-actuated; braking the drift is the
+                        # biped's whole balance authority
+                        q_diag=(600.0, 600.0, 8000.0, 8.0, 8.0, 10.0,
                                 6000.0, 6000.0, 6000.0, 5.0, 5.0, 5.0),
                         ).validate()
         wb_cfg = wbqp.WBQPConfig(torque_bound=33.5, kp_joint=200.0,
-                                 kd_joint=20.0, friction_coef=0.3)
+                                 kd_joint=20.0, friction_coef=0.3,
+                                 force_weight=5.0)
     else:
         model = a1.make_a1()
         q0_np = np.asarray(a1.stand_config(), np.float64)
+    if "--robot=adam" in sys.argv:
+        # point feet: the support LINE must pass through the whole-body COM
+        # or the robot topples in pitch from t=0 (measured: x doubling
+        # every 0.1 s).  Fixed-point IK: feet x -> COM x.
+        from bilevel_gait_gen_tpu.control import ik as ik_mod
+        qj = jnp.asarray(q0_np, dtype)
+        for _ in range(3):
+            com = rbd.com_position(model, qj)
+            feet = rbd.ee_positions(model, qj)
+            qj = ik_mod.solve_ik(model, qj[0:3], qj[3:7],
+                                 feet.at[:, 0].set(com[0]), qj, iters=20)
+        q0_np = np.asarray(qj, np.float64)
     # settle ALL feet into ground contact: the highest foot center ends at
     # foot_radius - 1.5 mm (a hovering rear pair destroys standing)
     foot_radius = 0.02
@@ -88,10 +108,12 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--initpush"):
             init_vx = float(a.split("=", 1)[1]) if "=" in a else 1.0
-    x0 = (jnp.zeros(13, dtype).at[2].set(float(q0_np[2])).at[9].set(1.0)
-          .at[3].set(init_vx * float(params.mass)))
+    v0_init = jnp.zeros(model.nv, dtype).at[0].set(init_vx)
+    x0 = mpc_controller.reconstruct_srb_state(model, params, q0, v0_init)
     feet0 = rbd.ee_positions(model, q0).astype(dtype)
-    traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
+    sched = (gait.make_standing(cfg) if "--gait=standing" in sys.argv
+             else gait.make_trot(cfg))
+    traj = default_trajectory(cfg, sched, x0, feet0[:, :2])
     state = solver.SolverState(traj=traj,
                                ee_box=jnp.asarray(cfg.ee_box_size, dtype))
     # target: trot in place at nominal height with ZERO momentum (the push

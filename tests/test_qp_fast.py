@@ -128,6 +128,6 @@ def test_raibert_rows_match_and_constrain():
     x_node = qp_f.S[node] @ u + qp_f.c[node]
     expect = foot - x_node[0:2] - kappa * x_node[3:5]
     got = qp_f.A[row0:row0 + 2] @ u - qp_f.b[row0:row0 + 2] \
-        + np.asarray(PARAMS.hip_offset)[ee]
+        + np.asarray(PARAMS.hip_offset_raw)[ee]
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                atol=1e-6, rtol=1e-5)

@@ -112,7 +112,9 @@ def test_closed_loop_standing_5s():
     q0 = engine.settled_stand(model, sim, jnp.asarray(a1.stand_config(),
                                                       dtype))
     params = srb.make_srb_params(model, q0)
-    x0 = jnp.zeros(13, dtype).at[0:3].set(q0[0:3]).at[9].set(1.0)
+    from bilevel_gait_gen_tpu.control import mpc_controller
+    x0 = mpc_controller.reconstruct_srb_state(
+        model, params, q0, jnp.zeros(model.nv, dtype))
     feet0 = rbd.ee_positions(model, q0).astype(dtype)
     traj = default_trajectory(cfg, gait.make_standing(cfg), x0,
                               feet0[:, :2])
@@ -131,7 +133,7 @@ def test_closed_loop_standing_5s():
     q = np.asarray(log.q)
     solved = np.asarray(log.solved)[np.arange(0, n_ticks, 50)]
     assert solved.mean() > 0.95, solved.mean()
-    z0 = float(q0[2])
+    z0 = float(q0[2])          # base height; log.q[:, 2] is the base z
     assert q[:, 2].min() > z0 - 0.06, q[:, 2].min()
     assert q[:, 2].max() < z0 + 0.06, q[:, 2].max()
     assert np.abs(q[:, 0:2]).max() < 0.10, np.abs(q[:, 0:2]).max()
@@ -177,7 +179,8 @@ sim = engine.SimConfig()
 model = a1.make_a1()
 q0 = engine.settled_stand(model, sim, jnp.asarray(a1.stand_config(), dtype))
 params = srb.make_srb_params(model, q0)
-x0 = jnp.zeros(13, dtype).at[0:3].set(q0[0:3]).at[9].set(1.0)
+from bilevel_gait_gen_tpu.control import mpc_controller
+x0 = mpc_controller.reconstruct_srb_state(model, params, q0, jnp.zeros(model.nv, dtype))
 feet0 = rbd.ee_positions(model, q0).astype(dtype)
 traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
 st = solver.make_state(cfg, traj, jnp.asarray(cfg.ee_box_size, dtype))
