@@ -36,22 +36,9 @@ from bilevel_gait_gen_tpu.utils.config import MPCConfig
 @highest_matmul_precision
 def reconstruct_srb_state(model: RobotModel, params: srb.SRBParams,
                           q: jax.Array, v: jax.Array) -> jax.Array:
-    """SRB manifold state [p, h, quat, w] from the full robot (q, v).
-
-    p is the whole-body COM (base origin + rotated nominal base->COM
-    offset) and h its linear momentum m*(v_base + w x R c) — the reference
-    reconstructs from Pinocchio's centroidal frame
-    (mpc_controller.cpp:229-271)."""
-    quat = quat_ops.normalize(q[3:7])
-    R = quat_ops.to_matrix(quat)
-    c_world = R @ params.com_offset
-    p = q[0:3] + c_world
-    omega_world = R @ v[3:6]
-    v_com = v[0:3] + jnp.cross(omega_world, c_world)
-    h = params.mass * v_com
-    # angular momentum about the COM in world axes: w = R (Ir omega_body)
-    w = R @ (params.inertia @ v[3:6])
-    return jnp.concatenate([p, h, quat, w])
+    """SRB manifold state from the full robot (q, v) — see
+    srb.reconstruct_state (reference mpc_controller.cpp:229-271)."""
+    return srb.reconstruct_state(params, q, v)
 
 
 def interpolate_state(traj: Trajectory, t: jax.Array, t0: jax.Array,

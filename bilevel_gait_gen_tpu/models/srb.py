@@ -96,6 +96,30 @@ def make_srb_params(model: RobotModel, nominal_q: jax.Array,
     )
 
 
+def reconstruct_state(params: SRBParams, q: jax.Array,
+                      v: jax.Array) -> jax.Array:
+    """SRB manifold state [p, h, quat, w] from the full robot (q, v).
+
+    p is the whole-body COM (base origin + rotated nominal base->COM
+    offset) and h its linear momentum m*(v_base + w x R c) — the reference
+    reconstructs from Pinocchio's centroidal frame
+    (mpc_controller.cpp:229-271).  Every consumer of an SRB state (tests,
+    demos, bench) must build x0 through here: a base-origin p is
+    inconsistent with the COM-relative EE-box/TD rows and can render the
+    QP infeasible by ~the base->COM offset.
+    """
+    quat = quat_ops.normalize(q[3:7])
+    R = quat_ops.to_matrix(quat)
+    c_world = R @ params.com_offset
+    p = q[0:3] + c_world
+    omega_world = R @ v[3:6]
+    v_com = v[0:3] + jnp.cross(omega_world, c_world)
+    h = params.mass * v_com
+    # angular momentum about the COM in world axes: w = R (Ir omega_body)
+    w = R @ (params.inertia @ v[3:6])
+    return jnp.concatenate([p, h, quat, w])
+
+
 # ----------------------------------------------------------------------------
 # Manifold <-> tangent (reference :179-220; quat_ref = Identity as in
 # production code, single_rigid_body_model.cpp:183)

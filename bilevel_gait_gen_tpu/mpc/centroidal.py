@@ -17,6 +17,7 @@ Decision vector: u_c = [spline vars (as SRB) | v_j for nodes 0..N-1].
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -73,10 +74,8 @@ def assemble_centroidal(cfg: MPCConfig, model: RobotModel,
     # per-node inertia -> effective params for the spline block
     Irs = node_inertias(model, configs)                  # [N+1, 3, 3]
     Ir_mean = jnp.mean(Irs, axis=0)
-    params_c = srb.SRBParams(
-        mass=params.mass, inertia=Ir_mean,
-        inertia_inv=jnp.linalg.inv(Ir_mean),
-        hip_offset=params.hip_offset)
+    params_c = dataclasses.replace(
+        params, inertia=Ir_mean, inertia_inv=jnp.linalg.inv(Ir_mean))
 
     base = qp_mod.assemble(cfg, params_c, traj, x0_man, t0, ee_pos0,
                            x_des_tan, ee_box_size)

@@ -34,58 +34,146 @@ class ADMMSolution(NamedTuple):
     dua_res: jax.Array
 
 
+def _ruiz_equilibrate(P, q, A, n_iters: int = 10):
+    """Ruiz equilibration of the [[P, A^T], [A, 0]] block matrix plus a
+    cost scalar c — OSQP's `scaling` setting (osqp_interface.cpp:14 sets
+    scaling=100; 10 sweeps reach machine-balance on these problems).
+
+    Returns (Ph, qh, Ah, d_x, d_c, c) with Ph = c Dx P Dx, Ah = Dc A Dx.
+    """
+    n = q.shape[-1]
+    m = A.shape[-2]
+    dtype = q.dtype
+    d_x = jnp.ones(n, dtype)
+    d_c = jnp.ones(m, dtype)
+    c = jnp.ones((), dtype)
+    Ph, qh, Ah = P, q, A
+
+    def body(carry, _):
+        Ph, qh, Ah, d_x, d_c, c = carry
+        # column norms of the stacked [Ph; Ah] block for x-scaling
+        col = jnp.sqrt(jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Ph), axis=0),
+                        jnp.max(jnp.abs(Ah), axis=0)), 1e-8))
+        row = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(Ah), axis=1), 1e-8))
+        e_x = 1.0 / col
+        e_c = 1.0 / row
+        Ph = Ph * e_x[:, None] * e_x[None, :]
+        qh = qh * e_x
+        Ah = Ah * e_c[:, None] * e_x[None, :]
+        d_x = d_x * e_x
+        d_c = d_c * e_c
+        # cost scaling: balance the quadratic part against the linear part
+        g = 1.0 / jnp.maximum(
+            jnp.maximum(jnp.mean(jnp.max(jnp.abs(Ph), axis=0)),
+                        jnp.max(jnp.abs(qh))), 1e-8)
+        Ph = Ph * g
+        qh = qh * g
+        c = c * g
+        return (Ph, qh, Ah, d_x, d_c, c), None
+
+    (Ph, qh, Ah, d_x, d_c, c), _ = jax.lax.scan(
+        body, (Ph, qh, Ah, d_x, d_c, c), None, length=n_iters)
+    return Ph, qh, Ah, d_x, d_c, c
+
+
 def solve(P: jax.Array, q: jax.Array, A: jax.Array, l: jax.Array,
           u: jax.Array, *, rho: float = 0.1, sigma: float = 1e-6,
           alpha: float = 1.6, iters: int = 200, tol: float = 1e-6,
-          warm: ADMMSolution | None = None) -> ADMMSolution:
-    """OSQP iteration with fixed trip count + convergence freezing.
+          warm: ADMMSolution | None = None, scaling: int = 10,
+          adaptive_rho: bool = True) -> ADMMSolution:
+    """OSQP iteration: Ruiz equilibration, vector rho with equality rows
+    boosted 1e3x, adaptive rho on the primal/dual residual ratio
+    (refactoring the KKT at fixed segment boundaries so the trip count
+    stays static under jit), over-relaxation, convergence freezing.
 
-    Reference settings analog: rho .001, scaling, warm start
-    (osqp_interface.cpp:7-38); here rho defaults higher because problems
-    are pre-equilibrated by the caller or small.
+    Reference settings analog: rho .001, scaling 100, warm start
+    (osqp_interface.cpp:7-38).  Residuals are reported UNSCALED.
     """
     n = q.shape[-1]
     m = l.shape[-1]
     dtype = q.dtype
 
     with jax.default_matmul_precision("highest"):
-        K = P + sigma * jnp.eye(n, dtype=dtype) + rho * (A.T @ A)
-        L = jnp.linalg.cholesky(K)
+        if scaling > 0:
+            Ph, qh, Ah, d_x, d_c, c = _ruiz_equilibrate(P, q, A, scaling)
+        else:
+            Ph, qh, Ah = P, q, A
+            d_x = jnp.ones(n, dtype)
+            d_c = jnp.ones(m, dtype)
+            c = jnp.ones((), dtype)
+        lh = l * d_c
+        uh = u * d_c
+        is_eq = (u - l) < 1e-12
+        inv_dx = 1.0 / d_x
+        inv_dc = 1.0 / d_c
 
         if warm is None:
             x = jnp.zeros(n, dtype)
-            z = jnp.clip(jnp.zeros(m, dtype), l, u)
+            z = jnp.clip(jnp.zeros(m, dtype), lh, uh)
             y = jnp.zeros(m, dtype)
-        else:
-            x, z, y = warm.x, warm.z, warm.y
+        else:       # scale the unscaled warm start in
+            x = warm.x * inv_dx
+            z = jnp.clip(warm.z * d_c, lh, uh)
+            y = warm.y * c * inv_dc
 
-        def body(carry, _):
-            x, z, y, done, it = carry
-            rhs = sigma * x - q + A.T @ (rho * z - y)
-            x_t = jax.scipy.linalg.solve_triangular(
-                L.T, jax.scipy.linalg.solve_triangular(L, rhs, lower=True),
-                lower=False)
-            Ax_t = A @ x_t
-            z_t = alpha * Ax_t + (1 - alpha) * z
-            x_new = alpha * x_t + (1 - alpha) * x
-            z_new = jnp.clip(z_t + y / rho, l, u)
-            y_new = y + rho * (z_t - z_new)
+        # segments: refactor K when rho adapts (static count under jit)
+        n_seg = 4 if adaptive_rho else 1
+        seg_len = max(iters // n_seg, 1)
+        rho0 = jnp.asarray(rho, dtype)
 
-            Ax = A @ x_new
-            pri = jnp.max(jnp.abs(Ax - z_new))
-            dua = jnp.max(jnp.abs(P @ x_new + q + A.T @ y_new))
-            scale = 1.0 + jnp.max(jnp.abs(q))
-            conv = (pri < tol * scale) & (dua < 1e2 * tol * scale)
-            take = ~(done | conv)
-            x = jnp.where(take, x_new, x)
-            z = jnp.where(take, z_new, z)
-            y = jnp.where(take, y_new, y)
-            it = it + jnp.where(done | conv, 0, 1)
-            return (x, z, y, done | conv, it), None
+        def run_segment(carry, _):
+            x, z, y, done, it, rho_s = carry
+            rho_vec = jnp.where(is_eq, 1e3 * rho_s, rho_s)
+            K = Ph + sigma * jnp.eye(n, dtype=dtype) \
+                + (Ah.T * rho_vec[None, :]) @ Ah
+            L = jnp.linalg.cholesky(K)
 
-        init = (x, z, y, jnp.zeros((), bool), jnp.zeros((), jnp.int32))
-        (x, z, y, _, it), _ = jax.lax.scan(body, init, None, length=iters)
+            def body(carry, _):
+                x, z, y, done, it, _, _ = carry
+                rhs = sigma * x - qh + Ah.T @ (rho_vec * z - y)
+                x_t = jax.scipy.linalg.solve_triangular(
+                    L.T, jax.scipy.linalg.solve_triangular(
+                        L, rhs, lower=True), lower=False)
+                Ax_t = Ah @ x_t
+                z_t = alpha * Ax_t + (1 - alpha) * z
+                x_new = alpha * x_t + (1 - alpha) * x
+                z_new = jnp.clip(z_t + y / rho_vec, lh, uh)
+                y_new = y + rho_vec * (z_t - z_new)
 
+                # UNSCALED residuals (x_u = Dx x, y_u = Dc y / c)
+                Ax_u = (Ah @ x_new) * inv_dc
+                z_u = z_new * inv_dc
+                pri = jnp.max(jnp.abs(Ax_u - z_u))
+                dua = jnp.max(jnp.abs(
+                    (Ph @ x_new + qh + Ah.T @ y_new) * inv_dx)) / c
+                scale = 1.0 + jnp.max(jnp.abs(q))
+                conv = (pri < tol * scale) & (dua < 1e2 * tol * scale)
+                take = ~(done | conv)
+                x = jnp.where(take, x_new, x)
+                z = jnp.where(take, z_new, z)
+                y = jnp.where(take, y_new, y)
+                it = it + jnp.where(done | conv, 0, 1)
+                return (x, z, y, done | conv, it, pri, dua), None
+
+            init = (x, z, y, done, it, jnp.zeros((), dtype),
+                    jnp.zeros((), dtype))
+            (x, z, y, done, it, pri, dua), _ = jax.lax.scan(
+                body, init, None, length=seg_len)
+            # OSQP rho adaptation: sqrt of the residual ratio, clipped
+            ratio = jnp.sqrt((pri + 1e-12) / (dua + 1e-12))
+            rho_s = jnp.clip(rho_s * jnp.clip(ratio, 0.1, 10.0),
+                             1e-6, 1e6)
+            return (x, z, y, done, it, rho_s), None
+
+        init = (x, z, y, jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+                rho0)
+        (x, z, y, _, it, _), _ = jax.lax.scan(run_segment, init, None,
+                                              length=n_seg)
+
+        # unscale (x = Dx x^, y = Dc y^ / c)
+        x = x * d_x
+        y = y * d_c / c
         Ax = A @ x
         pri = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)))
         dua = jnp.max(jnp.abs(P @ x + q + A.T @ y))

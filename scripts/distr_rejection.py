@@ -44,7 +44,7 @@ def main():
     q0 = jnp.asarray(a1.stand_config(), dtype)
     params = srb.make_srb_params(model, q0)
     feet0 = rbd.ee_positions(model, q0).astype(dtype)
-    x_nom = jnp.zeros(13, dtype).at[2].set(0.3).at[9].set(1.0)
+    x_nom = srb.reconstruct_state(params, q0, jnp.zeros(model.nv, dtype))
     x_des = srb.manifold_to_tangent(x_nom)
 
     # perturbed initial linear momenta: |v| up to 2.5 m/s in random xy dirs

@@ -43,7 +43,7 @@ def worker(pid: int):
     model = a1.make_a1()
     q0 = jnp.asarray(a1.stand_config(), dtype)
     params = srb.make_srb_params(model, q0)
-    x0 = jnp.zeros(13, dtype).at[2].set(0.3).at[9].set(1.0)
+    x0 = srb.reconstruct_state(params, q0, jnp.zeros(model.nv, dtype))
     feet0 = rbd.ee_positions(model, q0).astype(dtype)
     traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
     st = solver.SolverState(traj=traj,

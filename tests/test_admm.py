@@ -97,11 +97,11 @@ def test_mpc_solve_step_on_admm_backend():
     from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
     from bilevel_gait_gen_tpu.utils.config import MPCConfig
 
-    cfg = MPCConfig(qp_backend="admm", admm_iters=800).validate()
+    cfg = MPCConfig(qp_backend="admm", admm_iters=1600).validate()
     model = a1.make_a1()
     q0 = jnp.asarray(a1.stand_config(), jnp.float64)
     params = srb.make_srb_params(model, q0)
-    x0 = jnp.zeros(13).at[2].set(0.3).at[9].set(1.0)
+    x0 = srb.reconstruct_state(params, q0, jnp.zeros(model.nv, jnp.float64))
     feet0 = rbd.ee_positions(model, q0)
     traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
     st = solver.SolverState(traj=traj,

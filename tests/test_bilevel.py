@@ -22,7 +22,7 @@ CFG = MPCConfig().validate()
 MODEL = a1.make_a1()
 Q0 = jnp.array(a1.stand_config(), dtype=jnp.float64)
 PARAMS = srb.make_srb_params(MODEL, Q0)
-X0 = jnp.zeros(13).at[2].set(0.3).at[9].set(1.0)
+X0 = srb.reconstruct_state(PARAMS, Q0, jnp.zeros(MODEL.nv, jnp.float64))
 
 
 def converged_state():

@@ -37,7 +37,7 @@ def test_centroidal_qp_solves():
         CFG, MODEL, PARAMS, traj, configs, X0, jnp.array(0.0), feet0,
         x_des, jnp.asarray(CFG.ee_box_size, jnp.float64))
     assert np.all(np.isfinite(np.asarray(cqp.H)))
-    u, vj, sol = centroidal.solve_centroidal(cqp, iters=30, tol=1e-10)
+    u, vj, sol = centroidal.solve_centroidal(cqp, iters=40, tol=1e-10)
     assert float(sol.gap) < 1e-5, float(sol.gap)
     assert float(sol.pri_res) < 1e-4, float(sol.pri_res)
     vj = vj.reshape(CFG.num_nodes, MODEL.num_joints)

@@ -61,7 +61,7 @@ def test_mpc_solves_for_family(family):
     cfg = MPCConfig(num_nodes=10, num_ee=num_ee, ipm_iters=20,
                     force_bound=500.0).validate()
     params = srb.make_srb_params(model, q0)
-    x0 = jnp.zeros(13).at[2].set(z0).at[9].set(1.0)
+    x0 = srb.reconstruct_state(params, q0, jnp.zeros(model.nv, jnp.float64))
     feet0 = rbd.ee_positions(model, q0)
     traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
     st = solver.SolverState(traj=traj,

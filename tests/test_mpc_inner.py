@@ -22,8 +22,8 @@ Q0 = jnp.array(a1.stand_config(), dtype=jnp.float64)
 PARAMS = srb.make_srb_params(MODEL, Q0)
 
 # srb_init from the reference config: standing at 0.3 m
-X0 = jnp.zeros(13).at[2].set(0.3).at[9].set(1.0)  # p, h, quat(xyzw), w
-X_DES = jnp.zeros(13).at[2].set(0.3).at[9].set(1.0)
+X0 = srb.reconstruct_state(PARAMS, Q0, jnp.zeros(MODEL.nv, jnp.float64))
+X_DES = X0
 
 
 def setup_state():

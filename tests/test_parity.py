@@ -95,7 +95,7 @@ def test_f32_single_qp_parity():
     model = a1.make_a1()
     q0 = jnp.asarray(a1.stand_config(), jnp.float64)
     params = srb.make_srb_params(model, q0)
-    x0 = jnp.zeros(13).at[2].set(0.3).at[9].set(1.0)
+    x0 = srb.reconstruct_state(params, q0, jnp.zeros(model.nv, jnp.float64))
     feet0 = rbd.ee_positions(model, q0)
     traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
     st = solver.SolverState(traj=traj,

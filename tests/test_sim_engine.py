@@ -47,7 +47,7 @@ def test_closed_loop_standing_small():
     model = a1.make_a1()
     q0 = jnp.asarray(a1.stand_config(), jnp.float32).at[2].add(-0.007)
     params = srb.make_srb_params(model, q0)
-    x0 = jnp.zeros(13, jnp.float32).at[2].set(0.293).at[9].set(1.0)
+    x0 = srb.reconstruct_state(params, q0, jnp.zeros(model.nv, jnp.float32))
     feet0 = rbd.ee_positions(model, q0).astype(jnp.float32)
     sched = gait.make_standing(cfg)
     traj = default_trajectory(cfg, sched, x0, feet0[:, :2])
@@ -81,7 +81,7 @@ def test_closed_loop_with_gait_opt_compiles():
     model = a1.make_a1()
     q0 = jnp.asarray(a1.stand_config(), jnp.float32).at[2].add(-0.007)
     params = srb.make_srb_params(model, q0)
-    x0 = jnp.zeros(13, jnp.float32).at[2].set(0.293).at[9].set(1.0)
+    x0 = srb.reconstruct_state(params, q0, jnp.zeros(model.nv, jnp.float32))
     feet0 = rbd.ee_positions(model, q0).astype(jnp.float32)
     traj = default_trajectory(cfg, gait.make_standing(cfg), x0, feet0[:, :2])
     state = solver.SolverState(
