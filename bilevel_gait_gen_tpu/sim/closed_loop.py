@@ -1,0 +1,168 @@
+"""Reusable closed-loop MuJoCo harness: MPC RTIs + whole-body QP torques.
+
+One function, `run_push_recovery`, packages the full control stack around
+:class:`~bilevel_gait_gen_tpu.sim.mujoco_bridge.MujocoLoop` so scripts and
+tests share one code path (the reference's equivalent loop lives in
+apps/mpc_sim_demo.cpp:25-106 + simulation/mujoco_sim/simulator.cpp:95-190).
+
+Reference push-recovery scenario semantics (apps/a1_config_distr_rejection
+.yaml): the MuJoCo robot starts with `init_vel` = 0.375 m/s forward base
+velocity (line 37) while the MPC's SRB warm start `srb_init` carries an
+exaggerated 2.5 kg m/s linear momentum (line 68 — momentum, not velocity:
+the SRB state layout is [p, h, quat, w]).  Here the MPC is seeded with the
+TRUE measured state — strictly harder than the reference's inflated guess —
+and the scenario is parameterized by the actual initial velocity.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bilevel_gait_gen_tpu.control import mpc_controller, wbqp
+from bilevel_gait_gen_tpu.models import rbd, srb
+from bilevel_gait_gen_tpu.models.rbd import RobotModel
+from bilevel_gait_gen_tpu.mpc import bilevel, gait, solver
+from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
+from bilevel_gait_gen_tpu.sim.mujoco_bridge import MujocoLoop
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+class ClosedLoopResult(NamedTuple):
+    qs: np.ndarray          # [T, nq] MuJoCo-logged configurations (our conv)
+    vs: np.ndarray          # [T, nv]
+    taus: np.ndarray        # [T, nj]
+    n_mpc: int
+    n_fails: int
+    n_gait_accepts: int
+
+    @property
+    def z(self) -> np.ndarray:
+        return self.qs[:, 2]
+
+    def recovered(self, z_min: float = 0.15,
+                  v_end_max: float = 0.25) -> bool:
+        """Upright throughout AND the push arrested by the end."""
+        v_end = float(np.abs(self.vs[-500:, 0:2]).mean(axis=0).max())
+        return bool(self.z.min() > z_min and v_end < v_end_max)
+
+
+def settled_start(model: RobotModel, q_stand: np.ndarray,
+                  foot_radius: float = 0.02,
+                  penetration: float = 0.0015) -> np.ndarray:
+    """Drop the stand config so every foot rests `penetration` into the
+    ground plane (a hovering pair destroys standing)."""
+    q = np.asarray(q_stand, np.float64).copy()
+    feet_z = rbd.ee_positions(model, jnp.asarray(q))[:, 2]
+    q[2] -= float(jnp.max(feet_z)) - foot_radius + penetration
+    return q
+
+
+def run_closed_loop(model: RobotModel, cfg: MPCConfig,
+                    wb_cfg: "wbqp.WBQPConfig", q0: np.ndarray,
+                    v0: np.ndarray, seconds: float,
+                    sched: gait.GaitSchedule | None = None,
+                    x_des_man: jax.Array | None = None,
+                    gait_opt_freq: int = 0,
+                    dtype=jnp.float32) -> ClosedLoopResult:
+    """Run `seconds` of host-MuJoCo physics under the device controller.
+
+    The MPC runs one real-time iteration per `cfg.dt` (reference cadence,
+    controllers/mpc_controller.cpp:286-399) with early-touchdown schedule
+    sync; optional bilevel gait-opt updates every `gait_opt_freq` RTIs
+    (reference gait_opt_freq, e.g. a1_config_distr_rejection.yaml).
+    """
+    q0j = jnp.asarray(q0, dtype)
+    v0j = jnp.asarray(v0, dtype)
+    params = srb.make_srb_params(model, q0j)
+    x0 = srb.reconstruct_state(params, q0j, v0j)
+    feet0 = rbd.ee_positions(model, q0j).astype(dtype)
+    if sched is None:
+        sched = gait.make_trot(cfg)
+    traj = default_trajectory(cfg, sched, x0, feet0[:, :2])
+    state = solver.SolverState(traj=traj,
+                               ee_box=jnp.asarray(cfg.ee_box_size, dtype))
+    if x_des_man is None:
+        # reject the push: nominal pose, ZERO momentum
+        x_des_man = x0.at[3:6].set(0.0).at[10:13].set(0.0)
+    x_des = srb.manifold_to_tangent(x_des_man)
+
+    init_run = jax.jit(lambda st, x, ee: solver.create_initial_run(
+        cfg, params, st, x, ee, x_des))
+    state, stats = init_run(state, x0, feet0)
+    jax.block_until_ready(stats.cost)
+
+    mpc_step = jax.jit(lambda st, x, t, ee: solver.solve_step(
+        cfg, params, st, x, t, ee, x_des))
+    gopt = jax.jit(lambda st, x, t, ee, tr: bilevel.gait_opt_update(
+        cfg, params, st, x, t, ee, x_des, trust=tr))
+    ctrl = jax.jit(lambda tr, q, v, t, t0, mc: mpc_controller.control_action(
+        model, params, cfg, wb_cfg, tr, q, v, t, t0, mc))
+
+    loop = MujocoLoop(model, timestep=0.001)
+    loop.set_state(np.asarray(q0, np.float64), np.asarray(v0, np.float64))
+    holder = {"state": state, "t0": 0.0, "n": 0, "fails": 0, "accepts": 0,
+              "trust": jnp.asarray(cfg.trust_region, dtype)}
+
+    def control_fn(q, v, t):
+        qj = jnp.asarray(q, dtype)
+        vj = jnp.asarray(v, dtype)
+        if t >= holder["t0"] + cfg.dt or t == 0.0:
+            x_srb = srb.reconstruct_state(params, qj, vj)
+            feet = rbd.ee_positions(model, qj)
+            mc_now = jnp.asarray(loop.contacts())
+            st_in = holder["state"]
+            sched2 = gait.adjust_for_current_contacts(
+                st_in.traj.sched, mc_now, jnp.asarray(t, dtype))
+            st_in = dataclasses.replace(
+                st_in, traj=dataclasses.replace(st_in.traj, sched=sched2))
+            st, stats = mpc_step(st_in, x_srb, jnp.asarray(t, dtype), feet)
+            if gait_opt_freq and holder["n"] % gait_opt_freq \
+                    == gait_opt_freq - 1:
+                res = gopt(st, x_srb, jnp.asarray(t, dtype), feet,
+                           holder["trust"])
+                st = res.state
+                holder["trust"] = res.trust
+                holder["accepts"] += int(bool(res.accepted))
+            jax.block_until_ready(st.traj.x_man)
+            holder["state"] = st
+            holder["t0"] = t
+            holder["n"] += 1
+            if not bool(stats.solved):
+                holder["fails"] += 1
+        mc = jnp.asarray(loop.contacts())
+        tau = ctrl(holder["state"].traj, qj, vj, jnp.asarray(t, dtype),
+                   jnp.asarray(holder["t0"], dtype), mc)
+        return np.asarray(tau)
+
+    qs, vs, taus = loop.run(control_fn, int(seconds * 1000),
+                            control_decimation=1)
+    return ClosedLoopResult(qs=qs, vs=vs, taus=taus, n_mpc=holder["n"],
+                            n_fails=holder["fails"],
+                            n_gait_accepts=holder["accepts"])
+
+
+def run_push_recovery(init_vx: float = 0.375, seconds: float = 2.5,
+                      cfg: MPCConfig | None = None,
+                      gait_opt_freq: int = 0,
+                      dtype=jnp.float32) -> ClosedLoopResult:
+    """The reference's push-recovery scenario, closed loop on A1.
+
+    init_vx = 0.375 matches the reference's MuJoCo `init_vel`
+    (a1_config_distr_rejection.yaml:37).  Measured envelope of this
+    controller stack (2026-08, CPU MuJoCo): recovers 0.375, falls >= 0.45
+    — the same single-step capture limit the +-0.075 m EE box implies
+    (capturable v ~ box/sqrt(z/g) ~ 0.43 m/s).
+    """
+    from bilevel_gait_gen_tpu.models import a1
+    if cfg is None:
+        cfg = MPCConfig(ipm_iters=18).validate()
+    model = a1.make_a1()
+    q0 = settled_start(model, np.asarray(a1.stand_config(), np.float64))
+    v0 = np.zeros(model.nv)
+    v0[0] = init_vx
+    return run_closed_loop(model, cfg, wbqp.WBQPConfig(), q0, v0, seconds,
+                           gait_opt_freq=gait_opt_freq, dtype=dtype)

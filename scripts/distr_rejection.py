@@ -1,9 +1,21 @@
-"""Disturbance-rejection scenario batch (reference
-apps/a1_config_distr_rejection.yaml: initial COM velocity pushes up to
-2.5 m/s).  The reference runs ONE scenario; here the scenario axis is a
-batch sharded over the device mesh — the TPU-native headline capability.
+"""Disturbance-rejection (reference apps/a1_config_distr_rejection.yaml).
 
-Usage: python scripts/distr_rejection.py [batch] [--cpu]
+Reference scenario semantics (verified against the YAML + mpc_sim_demo.cpp
+:50,88): the MuJoCo robot starts at `init_vel` = 0.375 m/s forward base
+velocity; the `srb_init` "2.5" is the SRB warm start's linear MOMENTUM
+(state layout [p, h, quat, w]), not a 2.5 m/s body velocity.
+
+Two modes:
+  default        — plan-level scenario batch, pushes up to 2.5 m/s, the
+                   scenario axis sharded over the device mesh (the
+                   TPU-native headline capability; reference runs ONE).
+  --closed-loop  — the reference's actual scenario end to end: MuJoCo
+                   physics + full controller stack, 0.375 m/s initial
+                   velocity, exits 0 iff the robot recovers upright with
+                   the push arrested.
+
+Usage: python scripts/distr_rejection.py [batch] [--cpu] [--closed-loop]
+                                        [--vx=0.375]
 """
 import os
 import sys
@@ -28,6 +40,26 @@ from bilevel_gait_gen_tpu.mpc import gait, solver
 from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
 from bilevel_gait_gen_tpu.parallel import mesh as mesh_mod
 from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+
+def closed_loop_main() -> int:
+    from bilevel_gait_gen_tpu.sim.closed_loop import run_push_recovery
+    vx = 0.375
+    for a in sys.argv[1:]:
+        if a.startswith("--vx="):
+            vx = float(a.split("=", 1)[1])
+    print(f"closed-loop push recovery: init_vx={vx} m/s "
+          f"(reference init_vel, a1_config_distr_rejection.yaml:37)")
+    t0 = time.time()
+    res = run_push_recovery(init_vx=vx, seconds=2.5)
+    ok = res.recovered()
+    v_end = float(np.abs(res.vs[-500:, 0]).mean())
+    print(f"wall {time.time()-t0:.0f}s  MPC solves {res.n_mpc} "
+          f"(fails {res.n_fails})")
+    print(f"z: min {res.z.min():.3f} end {res.z[-1]:.3f}  "
+          f"x_end {res.qs[-1,0]:+.3f}  |vx|_end {v_end:.2f}")
+    print("RECOVERED" if ok else "FELL")
+    return 0 if ok else 1
 
 
 def main():
@@ -104,4 +136,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--closed-loop" in sys.argv:
+        raise SystemExit(closed_loop_main())
     main()

@@ -43,6 +43,11 @@ def main():
                         ).validate()
     else:
         cfg = MPCConfig(ipm_iters=18).validate()
+    if "--raibert" in sys.argv:
+        # capture-point touchdown placement (reference AddRaibertHeuristic,
+        # mpc_single_rigid_body.cpp:939-1017): foothold = hip + T_st/2 v_com
+        cfg = dataclasses.replace(cfg, raibert=True,
+                                  raibert_vel_gain=1.0).validate()
     wb_cfg = wbqp.WBQPConfig()
 
     if "--robot=mini_cheetah" in sys.argv:
