@@ -265,8 +265,11 @@ def assemble_ad(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
             t_stance = jnp.concatenate(
                 [t_st, jnp.ones_like(t_st[:, :1])],
                 axis=-1)[:, :td_all.shape[1]]                # [E, NT]
-            kappa = (cfg.raibert_vel_gain * t_stance
-                     / (2.0 * params.mass)).astype(dtype)
+            # per-axis gain (scalar broadcasts): fore-aft capture and
+            # lateral stepping need different feedback on a biped
+            vg = jnp.broadcast_to(jnp.asarray(cfg.raibert_vel_gain), (2,))
+            kappa = (vg[None, None, :] * t_stance[:, :, None]
+                     / (2.0 * params.mass)).astype(dtype)    # [E, NT, 2]
 
             def per_td(b_ee, fh_ee, tt, node, kap):
                 foot = spline.foot_position(b_ee, fh_ee, tt,
@@ -312,7 +315,9 @@ def assemble_ad(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
                   & ~(td_active[:, None]
                       & (jnp.abs(td_all - td_t[:, None]) < 1e-9)))
         # raw COM->hip (GetCOMToHip), NOT the margin-widened EE-box center
-        hip_b = jnp.tile(params.hip_offset_raw.astype(dtype)[:, None, :],
+        hip_r = (params.hip_offset_raw
+                 * jnp.asarray(cfg.raibert_hip_scale)[None, :]).astype(dtype)
+        hip_b = jnp.tile(hip_r[:, None, :],
                          (1, td_all.shape[1], 1)).reshape(-1)
         b_parts.append(hip_b - ev0[4 * E:])
         mask_parts.append(jnp.repeat(active.reshape(-1), 2))
@@ -587,8 +592,9 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
         t_stance = jnp.concatenate(
             [t_st, jnp.ones_like(t_st[:, :1])],
             axis=-1)[:, :NT]                                  # [E, NT]
-        kappa = (cfg.raibert_vel_gain * t_stance
-                 / (2.0 * params.mass)).astype(dtype)
+        vg = jnp.broadcast_to(jnp.asarray(cfg.raibert_vel_gain), (2,))
+        kappa = (vg[None, None, :] * t_stance[:, :, None]
+                 / (2.0 * params.mass)).astype(dtype)        # [E, NT, 2]
         wp_r = jax.vmap(lambda b, ts_: jax.vmap(
             lambda t: spline.foothold_weights(b, t))(ts_))(bounds, td_all)
         A_r_p = jnp.zeros((E, NT, 2, E, NF, 2), dtype)
@@ -600,11 +606,13 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
         S_nodes = S_stack[nodes]                              # [E, NT, 12, n_u]
         c_nodes = c_stack[nodes]                              # [E, NT, 12]
         A_raib = A_r_u - (S_nodes[:, :, 0:2, :]
-                          + kappa[:, :, None, None]
+                          + kappa[:, :, :, None]
                           * S_nodes[:, :, 3:5, :]).reshape(E * NT * 2, n_u)
-        b_raib = (params.hip_offset_raw.astype(dtype)[:, None, :]
+        hip_r = (params.hip_offset_raw
+                 * jnp.asarray(cfg.raibert_hip_scale)[None, :]).astype(dtype)
+        b_raib = (hip_r[:, None, :]
                   + c_nodes[:, :, 0:2]
-                  + kappa[..., None] * c_nodes[:, :, 3:5]).reshape(-1)
+                  + kappa * c_nodes[:, :, 3:5]).reshape(-1)
         prv_sw = td_all - jnp.concatenate(
             [td_all[:, :1] - 1.0,
              bounds[:, 1::2][:, :td_all.shape[1] - 1]], axis=-1)

@@ -74,7 +74,14 @@ class MPCConfig:
     # same touchdown; the TD pin wins (the Raibert row is masked off for
     # that EE) to keep the equality block consistent.
     raibert: bool = False
-    raibert_vel_gain: float = 0.0
+    raibert_vel_gain: float | Tuple[float, float] = 0.0
+    # per-axis scale on the hip-offset constant term of the Raibert rows.
+    # (1, 1) = the reference's GetCOMToHip neutral point (quadruped: the
+    # neutral stance IS under the hips).  A point-foot biped's fore-aft
+    # neutral point is the COM itself — Adam's hip sits 8 mm behind it and
+    # that constant bias integrates into a steady drift — so the biped
+    # config uses (0, 1): feet under the COM in x, hip-width apart in y.
+    raibert_hip_scale: Tuple[float, float] = (1.0, 1.0)
 
     # SQP / merit (reference mu_=5000 mpc.cpp:65; <=10 init iters mpc.cpp:85)
     merit_mu: float = 5000.0

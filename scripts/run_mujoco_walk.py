@@ -66,21 +66,41 @@ def main():
         model = robot_mod.make_adam()
         q0_np = np.asarray(robot_mod.stand_config(), np.float64)
         cfg = MPCConfig(num_ee=2, ipm_iters=18, friction_coef=0.3,
-                        force_bound=250.0, swing_height=0.05,
-                        force_carrier=True, double_support=0.1,
+                        phase_duration=float(os.environ.get(
+                            "ADAM_PHASE", "0.3")),
+                        force_bound=250.0, swing_height=0.08,
+                        force_carrier=True,
+                        double_support=float(os.environ.get(
+                            "ADAM_DSUP", "0.1")),
                         carrier_ramp=0.1, ee_box_size=(0.3, 0.3),
                         # Raibert capture-point touchdowns: biped point
                         # feet cannot balance without stepping feedback;
                         # foothold = COM(td) + hip + (T_st/2) v_com
-                        raibert=True, raibert_vel_gain=1.0,
+                        raibert=True,
+                        # fore-aft needs super-neutral capture gain
+                        # (>1 damps; 1.0 is velocity-neutral); lateral
+                        # stepping is softer or it excites the roll cycle
+                        raibert_vel_gain=tuple(
+                            float(v) for v in os.environ.get(
+                                "ADAM_VGAIN", "2.5,1.2").split(",")),
+                        # fore-aft neutral point = the COM (hip sits 8 mm
+                        # behind it; that bias integrates into drift)
+                        raibert_hip_scale=tuple(
+                            float(v) for v in os.environ.get(
+                                "ADAM_HSCALE", "0.0,1.0").split(",")),
                         # heavy linear-momentum weight: the COM is
                         # directly force-actuated; braking the drift is the
                         # biped's whole balance authority
-                        q_diag=(600.0, 600.0, 8000.0, 8.0, 8.0, 10.0,
-                                6000.0, 6000.0, 6000.0, 5.0, 5.0, 5.0),
+                        q_diag=tuple(float(v) for v in os.environ.get(
+                            "ADAM_QDIAG",
+                            "600,600,8000,8,8,10,6000,6000,6000,5,5,5"
+                            ).split(",")),
                         ).validate()
-        wb_cfg = wbqp.WBQPConfig(torque_bound=33.5, kp_joint=200.0,
-                                 kd_joint=20.0, friction_coef=0.3,
+        # kp 400 / kd 30: the swing foot must LAND at the Raibert target
+        # — softer gains land short, shrinking the effective stepping gain
+        # below velocity-neutral and the drift never damps (measured)
+        wb_cfg = wbqp.WBQPConfig(torque_bound=33.5, kp_joint=400.0,
+                                 kd_joint=30.0, friction_coef=0.3,
                                  force_weight=5.0)
     else:
         model = a1.make_a1()
@@ -210,7 +230,7 @@ def main():
     print(f"ctrl ticks: {holder['n_ctrl']} (avg {holder['ctrl_ms']/max(holder['n_ctrl'],1):.2f} ms)")
     print(f"z: start {z[0]:.3f} min {z.min():.3f} max {z.max():.3f} end {z[-1]:.3f}")
     print(f"xy drift: {np.abs(xy).max(axis=0)}")
-    upright = z.min() > 0.15
+    upright = z.min() > 0.55 * z[0]
     print("WALKED" if upright else "FELL")
     np.save("/tmp/walk_qs.npy", qs)
     return 0 if upright else 1
