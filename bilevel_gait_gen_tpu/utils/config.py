@@ -212,6 +212,7 @@ def load_yaml(path: str) -> MPCConfig:
     slots = 2 * (int(np.ceil(horizon / (2 * phase))) + 2)
     cfg = MPCConfig(
         num_nodes=get("num_nodes", 20),
+        num_ee=get("num_ee", 4),
         dt=get("integrator_dt", 0.05),
         num_force_polys=get("num_polys", 3),
         num_phase_slots=slots,
@@ -227,6 +228,10 @@ def load_yaml(path: str) -> MPCConfig:
         force_carrier=bool(get("force_carrier", False)),
         carrier_ramp=get("carrier_ramp", 0.1),
         raibert=bool(get("raibert", False)),
-        raibert_vel_gain=get("raibert_vel_gain", 0.0),
+        raibert_vel_gain=(tuple(raw["raibert_vel_gain"])
+                          if isinstance(raw.get("raibert_vel_gain"),
+                                        (list, tuple))
+                          else get("raibert_vel_gain", 0.0)),
+        raibert_hip_scale=tuple(get("raibert_hip_scale", (1.0, 1.0))),
     )
     return cfg.validate()

@@ -46,6 +46,26 @@ def test_config_yaml_loader(tmp_path):
     assert cfg.q_diag[2] == 4000
 
 
+def test_all_shipped_configs_load():
+    """Every shipped YAML builds a valid MPCConfig (reference config set:
+    a1_configuration / a1_gait_opt_config / a1_config_distr_rejection /
+    adam_configuration / hardware_a1_config)."""
+    import glob
+    paths = sorted(glob.glob("bilevel_gait_gen_tpu/configs/*.yaml"))
+    names = {p.split("/")[-1] for p in paths}
+    assert {"a1_walk.yaml", "a1_gait_opt.yaml", "a1_distr_rejection.yaml",
+            "adam_march.yaml", "hardware_a1.yaml"} <= names
+    for p in paths:
+        cfg = load_yaml(p)
+        assert cfg.num_nodes > 0
+    adam = load_yaml("bilevel_gait_gen_tpu/configs/adam_march.yaml")
+    assert adam.num_ee == 2
+    assert adam.raibert and adam.raibert_vel_gain == (2.5, 1.2)
+    assert adam.raibert_hip_scale == (0.0, 1.0)
+    hw = load_yaml("bilevel_gait_gen_tpu/configs/hardware_a1.yaml")
+    assert (hw.num_nodes, hw.dt) == (50, 0.02)
+
+
 def test_stage_timers():
     st = timing.StageTimers()
     with st.stage("a"):
