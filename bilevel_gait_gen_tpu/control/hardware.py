@@ -84,19 +84,35 @@ class StateEstimator:
     """COM state from mocap + finite differences + LPF chains
     (ComputeCOMStateEstimate, hardware_robot.cpp:503+)."""
 
-    def __init__(self, nj: int, cfg: EstimatorConfig):
+    def __init__(self, nj: int, cfg: EstimatorConfig, num_ee: int = 4):
         self.cfg = cfg
         self.vcom_f = runtime.LowPassBank(3, cfg.vcom_cutoff, cfg.mocap_hz)
         self.acom_f = runtime.LowPassBank(3, cfg.acom_cutoff, cfg.control_hz)
         self.vj_f = runtime.LowPassBank(nj, cfg.vjoint_cutoff, cfg.control_hz)
+        # GRF chain (reference filters the per-foot force estimate at 50 Hz,
+        # hardware_robot.cpp:176-180); fed by grf_update with the raw J^T-tau
+        # estimate from whoever owns the model
+        self.grf_f = runtime.LowPassBank(3 * num_ee, cfg.grf_cutoff,
+                                         cfg.control_hz)
         self._last_pos: Optional[np.ndarray] = None
         self._last_t: Optional[float] = None
         self._vcom = np.zeros(3)
+        self._last_vcom: Optional[np.ndarray] = None
+        self._last_vcom_t: Optional[float] = None
+        self._acom = np.zeros(3)
+        self._grf = np.zeros(3 * num_ee)
 
     def mocap_update(self, pos: np.ndarray, t: float) -> np.ndarray:
         if self._last_pos is not None and t > self._last_t:
             v = (pos - self._last_pos) / (t - self._last_t)
             self._vcom = self.vcom_f.step(v)
+            # a_com from the filtered velocity (reference LPF chain at
+            # 15 Hz, hardware_robot.cpp:160-166)
+            if self._last_vcom is not None:
+                a = (self._vcom - self._last_vcom) / (t - self._last_vcom_t)
+                self._acom = self.acom_f.step(a)
+            self._last_vcom = self._vcom.copy()
+            self._last_vcom_t = t
         self._last_pos = pos.copy()
         self._last_t = t
         return self._vcom
@@ -104,9 +120,22 @@ class StateEstimator:
     def joint_velocities(self, dq_raw: np.ndarray) -> np.ndarray:
         return self.vj_f.step(dq_raw)
 
+    def grf_update(self, grf_raw: np.ndarray) -> np.ndarray:
+        """Filter a raw per-foot ground-reaction-force estimate [3E]."""
+        self._grf = self.grf_f.step(np.asarray(grf_raw, np.float64))
+        return self._grf
+
     @property
     def vcom(self) -> np.ndarray:
         return self._vcom
+
+    @property
+    def acom(self) -> np.ndarray:
+        return self._acom
+
+    @property
+    def grf(self) -> np.ndarray:
+        return self._grf
 
 
 def verify_torques(tau: np.ndarray, limit: float) -> np.ndarray:
@@ -145,7 +174,10 @@ class HardwareRobot:
     def __init__(self, nj: int, udp: "runtime.UdpEndpoint",
                  control_fn: Callable, est_cfg: EstimatorConfig = None,
                  torque_limit: float = 33.5,
-                 traj_buffer_size: int = 0):
+                 traj_buffer_size: int = 0,
+                 stand_config: Optional[np.ndarray] = None,
+                 stand_time: float = 0.5,
+                 kp_stand: float = 35.0, kd_stand: float = 1.0):
         self.nj = nj
         self.udp = udp
         self.control_fn = control_fn
@@ -155,6 +187,15 @@ class HardwareRobot:
         self.gains = GainSchedule()
         self.traj_buffer = (runtime.TripleBuffer(traj_buffer_size)
                             if traj_buffer_size else None)
+        # Stand ramp (reference hardware_robot.cpp:190-199: linear
+        # interpolation from the config captured at mode entry to the
+        # standing config over standing_time)
+        self.stand_config = stand_config
+        self.stand_time = stand_time
+        self.kp_stand = kp_stand
+        self.kd_stand = kd_stand
+        self._stand_start_t: Optional[float] = None
+        self._stand_start_q: Optional[np.ndarray] = None
         self._stop = threading.Event()
         self._seq = 0
         self.overruns = 0
@@ -162,7 +203,10 @@ class HardwareRobot:
 
     def set_mode(self, mode: Mode):
         """Interactive mode switch (reference hardware_interface.cpp:153-176
-        REPL)."""
+        REPL).  Leaving Stand resets the ramp (reference :418-419)."""
+        if mode != Mode.STAND:
+            self._stand_start_t = None
+            self._stand_start_q = None
         self.mode = mode
 
     def step_once(self, t: float) -> bool:
@@ -181,9 +225,35 @@ class HardwareRobot:
             kp = np.zeros(self.nj)
             kd = np.full(self.nj, 2.0)
             q_des, dq_des = q_j, np.zeros(self.nj)
+        elif self.mode == Mode.STAND and self.stand_config is not None:
+            # linear ramp captured-config -> stand config over stand_time
+            # (reference hardware_robot.cpp:190-199)
+            if self._stand_start_t is None:
+                self._stand_start_t = t
+                self._stand_start_q = q_j.copy()
+            ratio = min(1.0, (t - self._stand_start_t) / self.stand_time)
+            q_des = (self._stand_start_q
+                     + ratio * (self.stand_config - self._stand_start_q))
+            dq_des = np.zeros(self.nj)
+            tau = np.zeros(self.nj)
+            kp = np.full(self.nj, self.kp_stand)
+            kd = np.full(self.nj, self.kd_stand)
         else:
-            tau, q_des, dq_des, contact = self.control_fn(
-                q_j, dq, quat, gyro, self.estimator.vcom, t, self.mode)
+            try:
+                tau, q_des, dq_des, contact = self.control_fn(
+                    q_j, dq, quat, gyro, self.estimator.vcom, t, self.mode)
+            except Exception:
+                # rejected control action: fall back to Stand (reference
+                # hardware_robot.cpp:281-292)
+                self.set_mode(Mode.STAND)
+                tau = np.zeros(self.nj)
+                kp = np.full(self.nj, self.kp_stand)
+                kd = np.full(self.nj, self.kd_stand)
+                q_des, dq_des = q_j, np.zeros(self.nj)
+                self._seq += 1
+                self.udp.send(pack_command(self._seq, q_des, dq_des, kp,
+                                           kd, tau))
+                return True
             tau = verify_torques(np.asarray(tau), self.torque_limit)
             kp, kd = self.gains.gains(np.asarray(contact))
 

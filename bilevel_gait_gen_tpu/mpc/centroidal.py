@@ -60,9 +60,9 @@ def assemble_centroidal(cfg: MPCConfig, model: RobotModel,
     configs: [N+1, nq] whole-body configurations along the previous
     trajectory (IK output; reference keeps them in Trajectory
     full_config_).  The spline-variable block reuses the SRB assembly with
-    the *average* node inertia (the per-node correction enters through the
-    FK/velocity coupling); the joint-velocity block appends FK equality
-    rows and velocity bounds.
+    the PER-NODE composite inertia Ir_k in the dynamics linearization
+    (assemble's node_inertia path); the joint-velocity block appends FK
+    equality rows and velocity bounds.
     """
     N = cfg.num_nodes
     dt = cfg.dt
@@ -71,14 +71,17 @@ def assemble_centroidal(cfg: MPCConfig, model: RobotModel,
     nj = model.num_joints
     nv_blk = N * nj
 
-    # per-node inertia -> effective params for the spline block
+    # per-node inertia: configuration-dependent Ir_k in the dynamics
+    # linearization itself (reference MPCCentroidal evaluates the CMM at
+    # each node's configuration), plus the mean for the velocity-coupling
+    # rows below
     Irs = node_inertias(model, configs)                  # [N+1, 3, 3]
     Ir_mean = jnp.mean(Irs, axis=0)
     params_c = dataclasses.replace(
         params, inertia=Ir_mean, inertia_inv=jnp.linalg.inv(Ir_mean))
 
-    base = qp_mod.assemble(cfg, params_c, traj, x0_man, t0, ee_pos0,
-                           x_des_tan, ee_box_size)
+    base = qp_mod.assemble(cfg, params, traj, x0_man, t0, ee_pos0,
+                           x_des_tan, ee_box_size, node_inertia=Irs)
     n_s = base.H.shape[0]
     n = n_s + nv_blk
 

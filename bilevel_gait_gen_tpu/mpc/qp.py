@@ -333,7 +333,8 @@ def assemble_ad(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
 @_highest_matmul_precision
 def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
              x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
-             x_des_tan: jax.Array, ee_box_size: jax.Array) -> CondensedQP:
+             x_des_tan: jax.Array, ee_box_size: jax.Array,
+             node_inertia: jax.Array | None = None) -> CondensedQP:
     """Fast condensed-QP assembly: closed-form dense basis weights.
 
     Semantically identical to :func:`assemble_ad` (which builds every block
@@ -342,6 +343,10 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
     constraint coefficients expressed as dense masked einsums over the
     spline basis weights — no gathers, no per-row autodiff.  ~4x faster
     assembly on TPU, still differentiable in the contact times.
+
+    node_inertia: optional [N, 3, 3] per-node composite rotational inertia
+    (the centroidal variant's configuration-dependent Ir, reference
+    MPCCentroidal/CentroidalModel); None = the SRB's constant nominal Ir.
     """
     N = cfg.num_nodes
     dt = cfg.dt
@@ -391,8 +396,13 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
     feet_xy = jnp.einsum('kem,emc->kec', wp_n, traj.footholds)
 
     # ---- closed-form continuous linearization (GetLinearDynamics) --------
-    Ir = params.inertia
-    Ir_inv = params.inertia_inv
+    if node_inertia is None:
+        Ir_n = jnp.broadcast_to(params.inertia, (N, 3, 3)).astype(dtype)
+        Ir_inv_n = jnp.broadcast_to(params.inertia_inv,
+                                    (N, 3, 3)).astype(dtype)
+    else:
+        Ir_n = node_inertia[:N].astype(dtype)
+        Ir_inv_n = jnp.linalg.inv(Ir_n)
     m_inv = 1.0 / params.mass
     eye3 = jnp.eye(3, dtype=dtype)
 
@@ -407,6 +417,8 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
         Fk = f_traj[k]                                   # [E, 3]
         rk = feet[k]                                     # [E, 3]
         F_tot = jnp.sum(Fk, axis=0)
+        Ir = Ir_n[k]
+        Ir_inv = Ir_inv_n[k]
 
         A = jnp.zeros((12, 12), dtype)
         A = A.at[0:3, 3:6].set(m_inv * eye3)

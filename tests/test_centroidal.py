@@ -48,3 +48,32 @@ def test_centroidal_qp_solves():
     J = rbd.ee_jacobians(MODEL, qk)
     got = np.asarray(jnp.einsum('eij,j->ei', J[:, :, 6:], vj[1]))
     assert np.all(np.isfinite(got))
+
+
+def test_per_node_inertia_enters_dynamics():
+    """The centroidal QP's dynamics must differ from the SRB QP's when the
+    node configurations differ (configuration-dependent Ir_k, reference
+    MPCCentroidal/CentroidalModel), and coincide when they don't."""
+    from bilevel_gait_gen_tpu.mpc import qp as qp_mod
+    feet0 = rbd.ee_positions(MODEL, Q0)
+    traj = default_trajectory(CFG, gait.make_trot(CFG), X0, feet0[:, :2])
+    x_des = srb.manifold_to_tangent(X0)
+    box = jnp.asarray(CFG.ee_box_size, jnp.float64)
+    base = qp_mod.assemble(CFG, PARAMS, traj, X0, jnp.array(0.0), feet0,
+                           x_des, box)
+    # same config at every node, nominal => identical to the SRB assembly
+    Irs_same = centroidal.node_inertias(
+        MODEL, jnp.stack([Q0] * (CFG.num_nodes + 1)))
+    same = qp_mod.assemble(CFG, PARAMS, traj, X0, jnp.array(0.0), feet0,
+                           x_des, box, node_inertia=Irs_same)
+    # dynamics enter the condensed QP through H (cost over the propagated
+    # states) and the EE-box G rows, not the foothold equality rows
+    np.testing.assert_allclose(np.asarray(same.H), np.asarray(base.H),
+                               atol=1e-9)
+    # a bent leg at later nodes changes the dynamics rows
+    configs = jnp.stack([Q0.at[7].add(0.4 * (k / CFG.num_nodes))
+                         for k in range(CFG.num_nodes + 1)])
+    Irs_bent = centroidal.node_inertias(MODEL, configs)
+    bent = qp_mod.assemble(CFG, PARAMS, traj, X0, jnp.array(0.0), feet0,
+                           x_des, box, node_inertia=Irs_bent)
+    assert float(jnp.abs(bent.H - base.H).max()) > 1e-6

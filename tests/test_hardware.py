@@ -5,6 +5,8 @@ Reference analogs: hardware/hardware_robot.cpp (ControlCallback, LPF,
 VerifyControlAction, AssignMPCGains) exercised against a simulated robot on
 the loopback UDP link.
 """
+import time
+
 import numpy as np
 
 from bilevel_gait_gen_tpu import runtime
@@ -84,3 +86,67 @@ def test_loopback_control_tick():
     assert magic == hw.MAGIC and kind == hw.KIND_COMMAND
     payload = np.frombuffer(cmd, np.float32, offset=8).reshape(nj, 5)
     np.testing.assert_allclose(payload[:, 4], 0.1 * np.arange(nj), atol=1e-6)
+
+
+def test_estimator_acom_and_grf():
+    """a_com converges for constant acceleration; GRF chain low-passes
+    (reference LPF cutoffs hardware_robot.cpp:153-180)."""
+    est = hw.StateEstimator(12, hw.EstimatorConfig())
+    a_true = np.array([0.3, 0.0, -0.1])
+    for k in range(2000):
+        t = k / 240.0
+        est.mocap_update(0.5 * a_true * t * t, t)
+    np.testing.assert_allclose(est.acom, a_true, atol=2e-2)
+    # GRF: step input converges to the step value
+    raw = np.tile([0.0, 0.0, 33.0], 4)
+    for _ in range(2000):
+        out = est.grf_update(raw)
+    np.testing.assert_allclose(out, raw, atol=1e-3)
+    np.testing.assert_allclose(est.grf, raw, atol=1e-3)
+
+
+def test_stand_ramp_state_machine():
+    """Stand mode ramps q_des from the captured config to the stand config
+    over stand_time (reference hardware_robot.cpp:190-199), and a rejected
+    MPC action falls back to Stand (:281-292)."""
+    nj = 12
+    a = runtime.UdpEndpoint("127.0.0.1", 48821, "127.0.0.1", 48822)
+    b = runtime.UdpEndpoint("127.0.0.1", 48822, "127.0.0.1", 48821)
+
+    q_stand = np.linspace(0.1, 1.2, nj)
+
+    def failing_control(*args):
+        raise RuntimeError("solver rejected")
+
+    robot = hw.HardwareRobot(nj, a, failing_control,
+                             stand_config=q_stand, stand_time=0.5)
+    robot.set_mode(hw.Mode.STAND)
+    q0 = np.zeros(nj)
+
+    def tick(t):
+        b.send(hw.pack_state(1, q0, np.zeros(nj), np.zeros(nj),
+                             np.array([0, 0, 0, 1.0]), np.zeros(3),
+                             np.zeros(3)))
+        assert robot.step_once(t)
+        pkt = None
+        for _ in range(200):
+            pkt = b.recv(4096)
+            if pkt is not None:
+                break
+            time.sleep(0.005)
+        assert pkt is not None
+        import struct
+        payload = np.frombuffer(pkt[8:], np.float32).reshape(nj, 5)
+        return payload[:, 0]         # q_des column (interleaved layout)
+
+    qd_mid = tick(0.25)              # entry captured at t=0.25 -> ratio 0
+    np.testing.assert_allclose(qd_mid, q0, atol=1e-6)
+    qd_half = tick(0.5)              # ratio 0.5
+    np.testing.assert_allclose(qd_half, 0.5 * q_stand, atol=1e-5)
+    qd_done = tick(2.0)              # ratio 1
+    np.testing.assert_allclose(qd_done, q_stand, atol=1e-5)
+
+    # MPC mode with a rejecting controller -> falls back to Stand
+    robot.set_mode(hw.Mode.MPC)
+    tick(3.0)
+    assert robot.mode == hw.Mode.STAND
