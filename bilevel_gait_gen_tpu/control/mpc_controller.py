@@ -115,3 +115,28 @@ def control_action(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
     v_des = ik_mod.ik_velocities(model, q_des, base_vel, omega_body, feet_vel)
     return wbqp.compute_torques(model, wb_cfg, q, v, contact, q_des, v_des,
                                 f_des)
+
+
+def control_action_full(model: RobotModel, params: srb.SRBParams,
+                        cfg: MPCConfig, wb_cfg: wbqp.WBQPConfig,
+                        traj: Trajectory, q: jax.Array, v: jax.Array,
+                        t: jax.Array, t0: jax.Array,
+                        measured_contact: jax.Array | None = None):
+    """Like :func:`control_action` but also returns the motor-level targets
+    (tau, q_des joints, dq_des joints, contact) — the command tuple the
+    hardware layer ships to the robot MCU alongside the gain schedule
+    (reference AssignConfig/Vel/TorqueToMotors, hardware_robot.cpp:531-616).
+    """
+    x, q_des, feet_vel, f_des, contact = targets_from_traj(
+        model, cfg, traj, t, t0, q, params.com_offset)
+    if measured_contact is not None:
+        contact = contact & measured_contact
+    f_des = f_des * contact[:, None]
+    R = quat_ops.to_matrix(x[6:10])
+    omega_body = jnp.linalg.solve(params.inertia, R.T @ x[10:13])
+    v_com = x[3:6] / params.mass
+    base_vel = v_com - jnp.cross(R @ omega_body, R @ params.com_offset)
+    v_des = ik_mod.ik_velocities(model, q_des, base_vel, omega_body, feet_vel)
+    tau = wbqp.compute_torques(model, wb_cfg, q, v, contact, q_des, v_des,
+                               f_des)
+    return tau, q_des[7:], v_des[6:], contact

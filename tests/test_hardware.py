@@ -150,3 +150,23 @@ def test_stand_ramp_state_machine():
     robot.set_mode(hw.Mode.MPC)
     tick(3.0)
     assert robot.mode == hw.Mode.STAND
+
+
+def test_mpc_over_udp_standing():
+    """End-to-end MPC-over-UDP: the full hardware stack (estimator,
+    state machine, wire format, motor PD law) against simulated physics
+    (reference hardware_interface.cpp against the real A1).  Subprocess at
+    production f32 precision."""
+    import os
+    import subprocess
+    import sys as _sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_ENABLE_X64", None)
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(root, "scripts",
+                                       "hardware_sim_demo.py"),
+         "1.5", "--cpu"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=root)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "UPRIGHT" in proc.stdout
