@@ -216,3 +216,83 @@ print("RESULT " + json.dumps({
     assert r["solved_frac"] > 0.95, r
     assert r["z_min"] > r["z0"] - 0.11, r       # bounded COM error
     assert r["xy_max"] < 0.20, r
+
+
+@pytest.mark.slow
+def test_closed_loop_bilevel_trot_3s():
+    """The COMPLETE flagship loop fully on device in one scan: penalty
+    physics + whole-body QP + MPC RTIs + bilevel gait-opt updates every 5
+    MPC steps (the reference's gait_opt_freq cadence,
+    mpc_controller.cpp:286-399 + a1_config_distr_rejection.yaml).  The
+    robot must keep trotting AND the optimized contact times must actually
+    move from the initial schedule."""
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r'''
+import sys, json
+sys.path.insert(0, sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", sys.argv[1] + "/.jax_cache")
+import jax.numpy as jnp, numpy as np
+from bilevel_gait_gen_tpu.control import mpc_controller, wbqp
+from bilevel_gait_gen_tpu.models import a1, rbd, srb
+from bilevel_gait_gen_tpu.mpc import gait, solver
+from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
+from bilevel_gait_gen_tpu.sim import engine
+from bilevel_gait_gen_tpu.utils.config import MPCConfig
+dtype = jnp.float32
+cfg = MPCConfig(ipm_iters=18, force_carrier=True, double_support=0.15,
+                carrier_ramp=0.15, swing_height=0.05,
+                ls_alphas=4).validate()
+wb_cfg = wbqp.WBQPConfig(torque_bound=30.0)
+sim = engine.SimConfig()
+model = a1.make_a1()
+q0 = engine.settled_stand(model, sim, jnp.asarray(a1.stand_config(), dtype))
+params = srb.make_srb_params(model, q0)
+x0 = mpc_controller.reconstruct_srb_state(model, params, q0, jnp.zeros(model.nv, dtype))
+feet0 = rbd.ee_positions(model, q0).astype(dtype)
+traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
+bounds0 = np.asarray(traj.sched.bounds)
+st = solver.make_state(cfg, traj, jnp.asarray(cfg.ee_box_size, dtype))
+x_des = srb.manifold_to_tangent(x0)
+st, stats = jax.jit(lambda s, x, e: solver.create_initial_run(
+    cfg, params, s, x, e, x_des))(st, x0, feet0)
+n_ticks = 3000
+st_out, log = jax.jit(lambda s, q, v: engine.closed_loop(
+    model, params, cfg, wb_cfg, sim, s, q, v, x_des,
+    n_ticks=n_ticks, control_dt=0.001, mpc_every=50, gait_opt_every=5,
+    contact_sync=True))(st, q0, jnp.zeros(model.nv, dtype))
+q = np.asarray(log.q)
+solved = np.asarray(log.solved)[np.arange(0, n_ticks, 50)]
+# schedule drift beyond pure window advancement: compare phase LENGTHS
+def lens(b):
+    return np.diff(b, axis=-1)
+dlen = np.abs(lens(np.asarray(st_out.traj.sched.bounds)) - lens(bounds0)).max()
+print("RESULT " + json.dumps({
+    "solved_frac": float(solved.mean()),
+    "z0": float(q0[2]),
+    "z_min": float(q[:, 2].min()),
+    "xy_max": float(np.abs(q[:, 0:2]).max()),
+    "dlen": float(dlen),
+    "finite": bool(np.all(np.isfinite(q)))}))
+'''
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run([sys.executable, "-c", script, repo],
+                         capture_output=True, text=True, timeout=1500,
+                         env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("RESULT ")][0]
+    res = json.loads(line[len("RESULT "):])
+    assert res["finite"]
+    assert res["solved_frac"] > 0.9, res
+    assert res["z_min"] > res["z0"] - 0.1, res
+    assert res["xy_max"] < 0.3, res
+    # the gait optimizer actually moved the contact times (phase lengths
+    # changed, not just the receding-horizon shift)
+    assert res["dlen"] > 1e-4, res
