@@ -233,6 +233,13 @@ def main():
     upright = z.min() > 0.55 * z[0]
     print("WALKED" if upright else "FELL")
     np.save("/tmp/walk_qs.npy", qs)
+    from bilevel_gait_gen_tpu.sim import viz
+    # convert logged mujoco qpos (wxyz) rows to our convention for the plot
+    qs_c = qs.copy()
+    qs_c[:, 3:7] = qs[:, [4, 5, 6, 3]]
+    p = viz.plot_plan_overlay(holder["state"].traj, cfg, params, qs_c,
+                              t0=holder["t0"], path="/tmp/walk_overlay.png")
+    print(f"plan/EE-box overlay: {p}")
     return 0 if upright else 1
 
 

@@ -26,3 +26,19 @@ def test_plot_plan(tmp_path):
     p = viz.plot_plan(traj, cfg, path=str(tmp_path / "p.png"))
     import os
     assert os.path.getsize(p) > 1000
+
+
+def test_plot_plan_overlay(tmp_path):
+    from bilevel_gait_gen_tpu.models import a1, srb
+    cfg = MPCConfig().validate()
+    model = a1.make_a1()
+    q0 = jnp.asarray(a1.stand_config())
+    params = srb.make_srb_params(model, q0)
+    x0 = srb.reconstruct_state(params, q0, jnp.zeros(model.nv))
+    traj = default_trajectory(cfg, gait.make_trot(cfg), x0,
+                              jnp.zeros((4, 2)))
+    qs = np.tile(np.asarray(q0)[None, :], (40, 1))
+    p = viz.plot_plan_overlay(traj, cfg, params, qs,
+                              path=str(tmp_path / "o.png"))
+    import os
+    assert os.path.getsize(p) > 1000
