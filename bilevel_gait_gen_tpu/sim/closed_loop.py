@@ -152,14 +152,19 @@ def run_push_recovery(init_vx: float = 0.375, seconds: float = 2.5,
     """The reference's push-recovery scenario, closed loop on A1.
 
     init_vx = 0.375 matches the reference's MuJoCo `init_vel`
-    (a1_config_distr_rejection.yaml:37).  Measured envelope of this
-    controller stack (2026-08, CPU MuJoCo): recovers 0.375, falls >= 0.45
-    — the same single-step capture limit the +-0.075 m EE box implies
-    (capturable v ~ box/sqrt(z/g) ~ 0.43 m/s).
+    (a1_config_distr_rejection.yaml:37).  The default config is the full
+    stability toolkit — double-support overlap + static-support carrier +
+    Raibert capture stepping — which under the reference-parity contact
+    model (condim 6, stiff solver) recovers 0.375 with z never below 0.26
+    (vs 0.17 for the plain trot config); 0.6 m/s is the current edge
+    (brakes fully but ends crouched).
     """
     from bilevel_gait_gen_tpu.models import a1
     if cfg is None:
-        cfg = MPCConfig(ipm_iters=18).validate()
+        cfg = MPCConfig(ipm_iters=18, double_support=0.1,
+                        force_carrier=True, carrier_ramp=0.1,
+                        raibert=True,
+                        raibert_vel_gain=(1.8, 1.2)).validate()
     model = a1.make_a1()
     q0 = settled_start(model, np.asarray(a1.stand_config(), np.float64))
     v0 = np.zeros(model.nv)

@@ -58,7 +58,14 @@ def robot_to_mjcf(model: RobotModel, foot_radius: float = 0.02,
                 out.append(
                     f'{pad}  <geom name="{model.ee_names[e]}" type="sphere" '
                     f'size="{foot_radius}" pos="{o[0]} {o[1]} {o[2]}" '
-                    f'friction="0.6 0.005 0.0001"/>')
+                    # condim 6 + torsional/rolling friction (reference
+                    # a1.xml:14-15): ball feet on condim-3 roll FREELY --
+                    # a PD-held robot then drifts at constant velocity
+                    # stiff damped contact (reference solimp/solref,
+                    # a1.xml:14): the default soft solver lets contacts
+                    # CREEP at ~cm/s under sustained sub-friction forces
+                    f'condim="6" friction="0.6 0.02 0.01" '
+                    f'solimp="0.9 0.99 0.001" solref="0.005 1"/>')
         for ch in children[i]:
             out.append(body_xml(ch, indent + 1))
         out.append(f"{pad}</body>")
@@ -73,7 +80,7 @@ def robot_to_mjcf(model: RobotModel, foot_radius: float = 0.02,
   <compiler angle="radian"/>
   <option timestep="{timestep}" integrator="implicitfast"/>
   <worldbody>
-    <geom name="floor" type="plane" size="10 10 0.1" friction="0.6 0.005 0.0001"/>
+    <geom name="floor" type="plane" size="10 10 0.1" condim="6" friction="0.6 0.02 0.01"/>
 {body_xml(0, 2)}
   </worldbody>
   <actuator>

@@ -51,7 +51,8 @@ def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 \
         and not sys.argv[1].startswith("--") else 2.0
     dtype = jnp.float32
-    cfg = MPCConfig(ipm_iters=18).validate()
+    cfg = MPCConfig(ipm_iters=18, double_support=0.1, force_carrier=True,
+                    carrier_ramp=0.1).validate()
     wb_cfg = wbqp.WBQPConfig()
     model = a1.make_a1()
     nj = model.num_joints

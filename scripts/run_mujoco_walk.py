@@ -46,16 +46,25 @@ def main():
     if "--raibert" in sys.argv:
         # capture-point touchdown placement (reference AddRaibertHeuristic,
         # mpc_single_rigid_body.cpp:939-1017): foothold = hip + T_st/2 v_com
+        vg = os.environ.get("RAIBERT_VGAIN", "1.0")
+        vgt = (tuple(float(v) for v in vg.split(","))
+               if "," in vg else float(vg))
         cfg = dataclasses.replace(cfg, raibert=True,
-                                  raibert_vel_gain=1.0).validate()
+                                  raibert_vel_gain=vgt).validate()
     wb_cfg = wbqp.WBQPConfig()
 
     if "--robot=mini_cheetah" in sys.argv:
         from bilevel_gait_gen_tpu.models import mini_cheetah as robot_mod
         model = robot_mod.make_mini_cheetah()
         q0_np = np.asarray(robot_mod.stand_config(), np.float64)
+        # stiff reference-parity contact: soften the joint gains (kp 900
+        # chattered on the condim-6 stiff-solver ground) and enable the
+        # stability toolkit
+        cfg = dataclasses.replace(
+            cfg, double_support=0.1, force_carrier=True,
+            carrier_ramp=0.1).validate()
         wb_cfg = wbqp.WBQPConfig(torque_bound=float(model.effort_limit[0]),
-                                 kp_joint=900.0, kd_joint=30.0)
+                                 kp_joint=300.0, kd_joint=20.0)
     elif "--robot=adam" in sys.argv:
         # Adam biped (reference apps/adam_configuration.yaml: POINT_FEET,
         # mu=0.3, torque bound 33.5; the reference ships controller_type
@@ -142,8 +151,18 @@ def main():
     state = solver.SolverState(traj=traj,
                                ee_box=jnp.asarray(cfg.ee_box_size, dtype))
     # target: trot in place at nominal height with ZERO momentum (the push
-    # must be rejected, not maintained)
-    x_des = srb.manifold_to_tangent(x0.at[3:6].set(0.0))
+    # must be rejected, not maintained); --goal=X,Y walks to a position
+    # (the reference's walk-to-position weight set, a1_configuration.yaml
+    # comments 180-204)
+    goal = None
+    for a in sys.argv[1:]:
+        if a.startswith("--goal="):
+            gx, gy = (float(v) for v in a.split("=", 1)[1].split(","))
+            goal = (gx, gy)
+    x_tgt = x0.at[3:6].set(0.0)
+    if goal is not None:
+        x_tgt = x_tgt.at[0].add(goal[0]).at[1].add(goal[1])
+    x_des = srb.manifold_to_tangent(x_tgt)
 
     print("initial MPC run ...")
     t_start = time.time()
@@ -153,8 +172,45 @@ def main():
     jax.block_until_ready(stats.cost)
     print(f"  done in {time.time()-t_start:.1f}s; defect={float(stats.defect_l1):.2e} solved={bool(stats.solved)}")
 
-    mpc_step = jax.jit(lambda st, x, t, ee: solver.solve_step(
-        cfg, params, st, x, t, ee, x_des))
+    # bounded carrot: command at most carrot_r of the remaining goal per
+    # plan so far goals don't blow up the momentum (walk-to-position
+    # stays a sequence of small position errors)
+    carrot_r = 0.25
+
+    def clamp_goal(x_srb):
+        if goal is None:
+            return x_des
+        tgt = jnp.asarray([x0[0] + goal[0], x0[1] + goal[1]])
+        d = tgt - x_srb[0:2]
+        n = jnp.linalg.norm(d)
+        # taper near the goal: approach speed shrinks with remaining
+        # distance so the arrival is a gentle stop, not a push-recovery
+        # event (the collapse mode is braking from walk speed)
+        r_eff = jnp.minimum(carrot_r, 0.6 * n)
+        step_xy = jnp.where(n > r_eff, d * (r_eff / (n + 1e-9)), d)
+        # lateral speed limit: trot lateral stepping is structurally
+        # narrower than fore-aft; uncapped diagonal carrots overshoot in y
+        step_xy = step_xy.at[1].set(jnp.clip(step_xy[1], -0.08, 0.08))
+        x_t = x0.at[3:6].set(0.0).at[0:2].set(x_srb[0:2] + step_xy)
+        return srb.manifold_to_tangent(x_t)
+
+    mpc_step = jax.jit(lambda st, x, t, ee, xd: solver.solve_step(
+        cfg, params, st, x, t, ee, xd))
+    # post-arrival standing uses the static-support carrier so the fresh
+    # stance does not start at boundary-pinned zero force (the engine's
+    # round-1 standing fix, docs/DESIGN.md)
+    # post-arrival standing MPC: carrier-standing schedule (merged
+    # stance) regulates position — joint-PD alone has no position
+    # feedback and residual momentum rolls ~0.2 m before decaying
+    cfg_stand = dataclasses.replace(cfg, force_carrier=True,
+                                    carrier_ramp=0.1).validate()
+    init_stand = jax.jit(lambda st, x, ee, xd: solver.create_initial_run(
+        cfg_stand, params, st, x, ee, xd))
+    mpc_step_stand = jax.jit(lambda st, x, t, ee, xd: solver.solve_step(
+        cfg_stand, params, st, x, t, ee, xd))
+    ctrl_stand = jax.jit(
+        lambda traj, q, v, t, t0, mc: mpc_controller.control_action(
+            model, params, cfg_stand, wb_cfg, traj, q, v, t, t0, mc))
     ctrl = jax.jit(lambda traj, q, v, t, t0, mc: mpc_controller.control_action(
         model, params, cfg, wb_cfg, traj, q, v, t, t0, mc))
 
@@ -174,6 +230,7 @@ def main():
             tm = time.perf_counter()
             x_srb = mpc_controller.reconstruct_srb_state(model, params, qj, vj)
             feet = rbd.ee_positions(model, qj)
+
             # early-touchdown schedule sync (AdjustForCurrentContacts)
             mc_now = jnp.asarray(loop.contacts())
             st_in = holder["state"]
@@ -181,19 +238,65 @@ def main():
                 st_in.traj.sched, mc_now, jnp.asarray(t, dtype))
             st_in = dataclasses.replace(
                 st_in, traj=dataclasses.replace(st_in.traj, sched=sched2))
-            st, stats = mpc_step(st_in, x_srb,
-                                 jnp.asarray(t, dtype), feet)
+            step_fn = (mpc_step_stand if holder.get("standing", False)
+                       else mpc_step)
+            st, stats = step_fn(st_in, x_srb,
+                                jnp.asarray(t, dtype), feet,
+                                clamp_goal(x_srb))
             jax.block_until_ready(stats.cost)
             holder["state"] = st
             holder["t0"] = t
             holder["n_mpc"] += 1
             holder["mpc_ms"] += (time.perf_counter() - tm) * 1e3
+            if os.environ.get("WALK_DEBUG") and holder["n_mpc"] % 5 == 0:
+                b = np.asarray(st.traj.sched.bounds)
+                fut = b[:, 1:] - b[:, :-1]
+                # lengths of phases that overlap the horizon
+                msk = (b[:, 1:] > t) & (b[:, :-1] < t + cfg.horizon)
+                lens = fut[msk]
+                print(f"  t={t:.2f} cost={float(stats.cost):+.0f} "
+                      f"defect={float(stats.defect_l1):.2e} "
+                      f"alpha={float(stats.alpha):.2f} "
+                      f"phase_len=[{lens.min():.3f},{lens.max():.3f}]")
             if not bool(stats.solved):
                 holder["fails"] += 1
         tm = time.perf_counter()
         mc = jnp.asarray(loop.contacts())
-        tau = ctrl(holder["state"].traj, qj, vj, jnp.asarray(t, dtype),
-                   jnp.asarray(holder["t0"], dtype), mc)
+        # arrival state machine at CONTROL rate: once the goal is reached
+        # at low speed with all four feet planted, hold the configuration
+        # with joint PD + gravity comp (the reference's Stand state,
+        # pd_grav_comp.cpp, hardware_robot.h:46-51) — statically stable,
+        # no schedule to resync.  All-4-contact instants are brief in the
+        # trot, so the gate must sample at 1 kHz, not at MPC ticks.
+        if goal is not None and not holder.get("standing", False):
+            tgt = np.asarray([x0[0] + goal[0], x0[1] + goal[1]])
+            com_now = np.asarray(q[0:3]) + np.asarray(
+                holder.get("com_off_w", np.zeros(3)))
+            err = float(np.hypot(com_now[0] - tgt[0], com_now[1] - tgt[1]))
+            spd = float(np.linalg.norm(np.asarray(v[0:2])))
+            if err < 0.07 and spd < 0.06 and bool(np.all(np.asarray(mc))):
+                x_srb_a = mpc_controller.reconstruct_srb_state(
+                    model, params, qj, vj)
+                feet_a = rbd.ee_positions(model, qj)
+                sched_s = gait.make_standing(cfg_stand, t0=float(t))
+                traj_s = default_trajectory(cfg_stand, sched_s, x_srb_a,
+                                            feet_a[:, :2])
+                st_s = solver.SolverState(
+                    traj=traj_s,
+                    ee_box=jnp.asarray(cfg.ee_box_size, dtype))
+                st_s, _ = init_stand(st_s, x_srb_a, feet_a,
+                                     clamp_goal(x_srb_a))
+                holder["state"] = st_s
+                holder["t0"] = t
+                holder["standing"] = True
+                print(f"  arrived (err {err:.3f} m) -> MPC stand at t={t:.2f}")
+        if holder.get("standing", False):
+            tau = ctrl_stand(holder["state"].traj, qj, vj,
+                             jnp.asarray(t, dtype),
+                             jnp.asarray(holder["t0"], dtype), mc)
+        else:
+            tau = ctrl(holder["state"].traj, qj, vj, jnp.asarray(t, dtype),
+                       jnp.asarray(holder["t0"], dtype), mc)
         tau = np.asarray(tau)
         holder["ctrl_ms"] += (time.perf_counter() - tm) * 1e3
         holder["n_ctrl"] += 1
@@ -231,6 +334,11 @@ def main():
     print(f"z: start {z[0]:.3f} min {z.min():.3f} max {z.max():.3f} end {z[-1]:.3f}")
     print(f"xy drift: {np.abs(xy).max(axis=0)}")
     upright = z.min() > 0.55 * z[0]
+    if goal is not None:
+        err = np.hypot(qs[-1, 0] - goal[0], qs[-1, 1] - goal[1])
+        print(f"goal {goal}: final ({qs[-1,0]:+.3f},{qs[-1,1]:+.3f}) "
+              f"err {err:.3f} m")
+        upright = upright and err < 0.15
     print("WALKED" if upright else "FELL")
     np.save("/tmp/walk_qs.npy", qs)
     from bilevel_gait_gen_tpu.sim import viz

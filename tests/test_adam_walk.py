@@ -23,9 +23,31 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_adam_marches_5s():
     env = dict(os.environ)
     env.pop("JAX_ENABLE_X64", None)
+    # production runs ONE device; the 8-virtual-device XLA flag
+    # changes partitioning/fusion numerics enough to tip marginal
+    # closed loops (measured: the Adam march falls under it)
+    env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "run_mujoco_walk.py"),
          "5", "--cpu", "--robot=adam"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=ROOT)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "WALKED" in proc.stdout
+
+
+def test_a1_walks_to_position():
+    """Walk-to-position (the reference's headline demo config,
+    a1_configuration.yaml comments 180-204): A1 trots to a commanded
+    (x, y) goal with a tapered receding carrot and stops there."""
+    env = dict(os.environ)
+    env.pop("JAX_ENABLE_X64", None)
+    # production runs ONE device; the 8-virtual-device XLA flag
+    # changes partitioning/fusion numerics enough to tip marginal
+    # closed loops (measured: the Adam march falls under it)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "run_mujoco_walk.py"),
+         "8", "--cpu", "--goal=0.6,0.2"],
         capture_output=True, text=True, timeout=560, env=env, cwd=ROOT)
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "WALKED" in proc.stdout

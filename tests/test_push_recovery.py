@@ -24,6 +24,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_push_recovery_reference_scenario():
     env = dict(os.environ)
     env.pop("JAX_ENABLE_X64", None)
+    # production runs ONE device; the 8-virtual-device XLA flag
+    # changes partitioning/fusion numerics enough to tip marginal
+    # closed loops (measured: the Adam march falls under it)
+    env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "distr_rejection.py"),
          "--cpu", "--closed-loop"],
