@@ -27,6 +27,7 @@ Replaces the reference's entire outer-loop machinery:
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -45,10 +46,20 @@ from bilevel_gait_gen_tpu.utils.precision import highest_matmul_precision
 @highest_matmul_precision
 def outer_gradient(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
                    x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
-                   x_des_tan: jax.Array, ee_box: jax.Array) -> jax.Array:
+                   x_des_tan: jax.Array, ee_box: jax.Array,
+                   warm=None) -> jax.Array:
     """dH/dtheta: gradient of the optimal inner-QP objective w.r.t. the
-    contact times (theta = sched.bounds, [E, P+1])."""
-    opts = (("iters", cfg.ipm_iters), ("tol", cfg.ipm_tol))
+    contact times (theta = sched.bounds, [E, P+1]).
+
+    ``warm``: the RTI's carried QPSolution.  The bounds are unchanged here,
+    so the previous production solve of the SAME QP is an excellent warm
+    start — the forward solve converges tighter at the same sweep count and
+    the Newton-Schulz inverse-tracking cadence (ipm_exact_every) becomes
+    safe, exactly as in the warm-started RTI path (the reference likewise
+    derives its QP derivatives from the warm-started production solve,
+    mpc/mpc.cpp:1047-1056)."""
+    opts = (("iters", cfg.ipm_iters), ("tol", cfg.ipm_tol),
+            ("exact_every", cfg.ipm_exact_every if warm is not None else 1))
 
     def outer_cost(bounds):
         traj_b = Trajectory(x_man=traj.x_man, f_nodes=traj.f_nodes,
@@ -56,7 +67,8 @@ def outer_gradient(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
                             sched=GaitSchedule(bounds=bounds))
         qp = qp_mod.assemble(cfg, params, traj_b, x0_man, t0, ee_pos0,
                              x_des_tan, ee_box)
-        u = pdip.solve_primal(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h, opts)
+        u = pdip.solve_primal(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h, opts,
+                              warm)
         # QP objective (the reference's cost H(theta): GetCost of the inner
         # solve, gait_optimizer.cpp:92-179 builds dH/dtheta of exactly this)
         return 0.5 * u @ qp.H @ u + qp.q @ u + qp.cost_const
@@ -121,7 +133,7 @@ def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
     G = jnp.concatenate([G_ord, G_tr])
     h = jnp.concatenate([h_ord, h_tr])
 
-    sol = pdip.solve(H, q, A, beq, G, h, iters=30, tol=1e-10)
+    sol = pdip.solve(H, q, A, beq, G, h, iters=20, tol=1e-10)
     # safety clamps (the reference clamps ordering violations after its
     # projection QP too, ConvertQPVecToContactTimes :651-669): trust box,
     # pinned boundaries, and a failed-QP zero step
@@ -161,6 +173,13 @@ def line_search(cfg: MPCConfig, params: SRBParams,
     """
     LS = cfg.ls_alphas
     alphas = jnp.arange(LS, dtype=x0_man.dtype) / LS
+    # lanes rank candidates and seed the next warm start; the winner is
+    # re-solved at full depth on the next RTI, so a reduced sweep count
+    # (cfg.ls_ipm_iters) halves the dominant gait-opt cost without changing
+    # which step is taken (the trust-region ratio test rejects mis-ranked
+    # steps).  0 = full production depth.
+    cfg_lane = (dataclasses.replace(cfg, ipm_iters=cfg.ls_ipm_iters)
+                if cfg.ls_ipm_iters else cfg)
 
     def try_alpha(alpha):
         bounds_a = state.traj.sched.bounds + alpha * step
@@ -169,8 +188,8 @@ def line_search(cfg: MPCConfig, params: SRBParams,
                             sched=GaitSchedule(bounds=bounds_a))
         st_a = solver_mod.SolverState(traj=traj_a, ee_box=state.ee_box,
                                       qp_warm=state.qp_warm)
-        st_a, stats = solver_mod.solve_step(cfg, params, st_a, x0_man, t0,
-                                            ee_pos0, x_des_tan,
+        st_a, stats = solver_mod.solve_step(cfg_lane, params, st_a, x0_man,
+                                            t0, ee_pos0, x_des_tan,
                                             shift_window=False)
         cost = jnp.where(stats.solved, stats.cost, jnp.inf)
         return st_a, cost
@@ -212,7 +231,7 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
     trust_in = jnp.asarray(cfg.trust_region if trust is None else trust,
                            dtype)
     g = outer_gradient(cfg, params, state.traj, x0_man, t0, ee_pos0,
-                       x_des_tan, state.ee_box)
+                       x_des_tan, state.ee_box, warm=state.qp_warm)
     # derivative quality gate (the reference only consumes QP derivatives
     # from a successful solve, mpc/mpc.cpp:1047-1056): a non-finite
     # gradient zeroes the step, which the ratio test then rejects

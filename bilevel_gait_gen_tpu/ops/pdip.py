@@ -470,25 +470,33 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
 # ----------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def solve_primal(H, q, A, b, G, h, opts: tuple = ()):
+def solve_primal(H, q, A, b, G, h, opts: tuple = (), warm=None):
     """QP solve returning only the primal x, differentiable w.r.t. all data.
 
     Backward implements the OptNet/IFT adjoint — the reference's
     SetupDerivativeCalcs + CalcDerivativeWrtMats/Vecs
     (clarabel_interface.cpp:182-612) — but reuses the reduced KKT solve
     instead of factorizing a fresh sparse KKT-differential matrix.
+
+    ``warm`` (optional QPSolution) warm-starts the forward solve exactly
+    like ``solve(warm=...)`` — the RTI's carried duals make the gradient's
+    forward solve converge tighter at the same sweep count (the reference
+    computes derivatives from its warm-started production solve too,
+    mpc/mpc.cpp:1047-1056).  It is treated as a constant: the IFT adjoint
+    is evaluated at the solution, so warm receives zero cotangent.
     """
-    sol = solve(H, q, A, b, G, h, **dict(opts))
+    sol = solve(H, q, A, b, G, h, warm=warm, **dict(opts))
     return sol.x
 
 
-def _solve_fwd(H, q, A, b, G, h, opts):
-    sol = solve(H, q, A, b, G, h, **dict(opts))
-    return sol.x, (H, q, A, b, G, h, sol)
+def _solve_fwd(H, q, A, b, G, h, opts, warm):
+    sol = solve(H, q, A, b, G, h, warm=warm, **dict(opts))
+    return sol.x, (H, q, A, b, G, h, sol, warm)
 
 
 def _solve_bwd(opts, res, gx):
     """IFT adjoint.  KKT residuals at the solution (s = h - G x > 0):
+    (warm start receives a zero cotangent — see solve_primal.)
 
         g1 = H x + q + A^T y + G^T lam = 0
         g2 = A x - b = 0
@@ -500,9 +508,11 @@ def _solve_bwd(opts, res, gx):
     matrix the forward IPM factorizes.  Gradients then follow from
     dL/dtheta = -v^T d(g)/dtheta.
     """
-    H, q, A, b, G, h, sol = res
+    H, q, A, b, G, h, sol, warm = res
     with jax.default_matmul_precision("highest"):
-        return _bwd_impl(opts, H, q, A, b, G, h, sol, gx)
+        grads = _bwd_impl(opts, H, q, A, b, G, h, sol, gx)
+    warm_ct = None if warm is None else jax.tree.map(jnp.zeros_like, warm)
+    return (*grads, warm_ct)
 
 
 def _bwd_impl(opts, H, q, A, b, G, h, sol, gx):

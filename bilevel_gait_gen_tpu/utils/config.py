@@ -141,6 +141,14 @@ class MPCConfig:
     min_dwell: float = 0.2          # gait_optimizer.cpp:412
     trust_region: float = 1.0       # initial Delta, gait_optimizer.cpp:43
     ls_alphas: int = 10             # LS_SIZE, gait_optimizer.h:164
+    # IPM sweeps inside the gait-opt line-search lanes (0 = ipm_iters).
+    # The lanes only rank candidate contact-time steps by cost and seed the
+    # next warm start — the winner is re-solved at full depth on the very
+    # next RTI — so warm-started lanes converge enough in about half the
+    # production sweep count.  The trust-region ratio test rejects any step
+    # whose lane cost was ranked wrong.  (Perf: the 10-lane search is the
+    # bulk of the gait-opt update's cost, ~10 RTI-equivalents at full depth.)
+    ls_ipm_iters: int = 5
     # trust-region acceptance/adaptation (gait_optimizer.cpp:199-211,568-579):
     # a step is accepted when actual/predicted cost reduction >= tr_eta_low;
     # the radius grows by tr_grow on strong agreement (>= tr_eta_high),
