@@ -77,6 +77,38 @@ def outer_gradient(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
 
 
 @highest_matmul_precision
+def outer_gradient_at(cfg: MPCConfig, params: SRBParams, traj_lin: Trajectory,
+                      x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
+                      x_des_tan: jax.Array, ee_box: jax.Array,
+                      sol) -> jax.Array:
+    """dH/dtheta evaluated AT a captured production solution — no extra
+    forward solve.
+
+    ``sol`` is the QPSolution of the RTI that just solved the QP assembled
+    from ``traj_lin`` (SolveExt from solve_step).  This is exactly the
+    reference's design: the bilevel derivatives are computed from the
+    warm-started production solve, not a fresh one (ComputeDerivativeTerms
+    consumes the solver's current factorization, mpc/mpc.cpp:1047-1069).
+    ``ipm_grad_polish`` extra warm sweeps tighten the point first (the
+    reference solves at 1e-15 gap before differentiating,
+    a1_configuration.yaml:189-200); at 0 the forward pass is the identity
+    on ``sol`` and only the IFT adjoint runs.
+    """
+    opts = (("iters", cfg.ipm_grad_polish), ("tol", cfg.ipm_tol),
+            ("exact_every", 1))
+
+    def outer_cost(bounds):
+        traj_b = dataclasses.replace(traj_lin,
+                                     sched=GaitSchedule(bounds=bounds))
+        qp = qp_mod.assemble(cfg, params, traj_b, x0_man, t0, ee_pos0,
+                             x_des_tan, ee_box)
+        u = pdip.solve_primal(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h, opts, sol)
+        return 0.5 * u @ qp.H @ u + qp.q @ u + qp.cost_const
+
+    return jax.grad(outer_cost)(traj_lin.sched.bounds)
+
+
+@highest_matmul_precision
 def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
                       t0: jax.Array,
                       trust: jax.Array | float | None = None) -> jax.Array:
@@ -111,7 +143,6 @@ def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
     beq = jnp.zeros(n, dtype)
 
     # dwell polytope per EE: d_i - d_{i+1} <= (b_{i+1} - b_i) - min_dwell
-    D = jnp.zeros((E * P1, n), dtype)
     rows = []
     rhs = []
     for ee in range(E):
@@ -133,7 +164,7 @@ def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
     G = jnp.concatenate([G_ord, G_tr])
     h = jnp.concatenate([h_ord, h_tr])
 
-    sol = pdip.solve(H, q, A, beq, G, h, iters=20, tol=1e-10)
+    sol = pdip.solve(H, q, A, beq, G, h, iters=cfg.proj_iters, tol=1e-10)
     # safety clamps (the reference clamps ordering violations after its
     # projection QP too, ConvertQPVecToContactTimes :651-669): trust box,
     # pinned boundaries, and a failed-QP zero step
@@ -158,6 +189,10 @@ class GaitOptResult(NamedTuple):
     cost0: jax.Array = 0.0       # cost of the alpha=0 lane
     trust: jax.Array = 0.0       # updated radius for the next outer step
     accepted: jax.Array = True   # step passed the ratio test
+    # stats of the production RTI embedded in gait_opt_update (the update
+    # REPLACES one inner solve — reference phase (b) "solve + derivatives",
+    # controllers/mpc_controller.cpp:518-573); None from plain line_search
+    rti_stats: "solver_mod.SolveStats | None" = None
 
 
 @highest_matmul_precision
@@ -207,22 +242,82 @@ def line_search(cfg: MPCConfig, params: SRBParams,
                          cost0=costs[0])
 
 
+def _lane_search(cfg: MPCConfig, params: SRBParams,
+                 st1: solver_mod.SolverState, step: jax.Array,
+                 x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
+                 x_des_tan: jax.Array):
+    """Paid line-search lanes: alpha on the grid {i/(LS-1), i=1..LS-1}
+    (alpha=0 is the embedded RTI, already solved at full depth by the
+    caller).  Reference: GaitOptimizer::LineSearch forks one full MPC solve
+    per candidate and ranks by its cost (gait_optimizer.cpp:671-753); here
+    it is one vmap.
+
+    Lanes rank candidates by the CONVERGED inner-QP objective at the
+    candidate contact times — the same smooth function H(theta) whose
+    gradient drove the step (gait_optimizer.cpp:92-179 differentiates
+    exactly this).  Ranking by the post-RTI *nonlinear trajectory* cost is
+    structurally biased against every schedule change: the carried
+    trajectory is converged for the OLD bounds, so one guarded RTI at new
+    bounds sits mid-transient and its cost spikes by orders of magnitude
+    regardless of schedule quality (measured: a step that lowers the QP
+    objective 1991 -> -1891 shows a 2904 -> 420316 one-RTI transient).
+    The winner installs its bounds and its converged solution as the next
+    warm start; the trajectory itself is re-converged by the next guarded
+    RTIs (merit line search), which also paces the transient.
+
+    Each lane is assemble + a warm ls_ipm_iters-sweep QP solve — no merit
+    scan or trajectory conversion, so lanes are ~40% cheaper than full
+    solve_steps.
+    """
+    LS = max(cfg.ls_alphas - 1, 1)
+    alphas = (jnp.arange(LS, dtype=x0_man.dtype) + 1.0) / LS
+    iters = cfg.ls_ipm_iters or cfg.ipm_iters
+
+    def try_alpha(alpha):
+        bounds_a = st1.traj.sched.bounds + alpha * step
+        traj_a = dataclasses.replace(st1.traj,
+                                     sched=GaitSchedule(bounds=bounds_a))
+        qp = qp_mod.assemble(cfg, params, traj_a, x0_man, t0, ee_pos0,
+                             x_des_tan, st1.ee_box)
+        sol = pdip.solve(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h, iters=iters,
+                         tol=cfg.ipm_tol, exact_every=cfg.ipm_exact_every,
+                         warm=st1.qp_warm)
+        obj = 0.5 * sol.x @ qp.H @ sol.x + qp.q @ sol.x + qp.cost_const
+        # same solve-quality gate as the RTI (solver.solve_step)
+        scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(qp.q)), jnp.abs(obj))
+        good = ((sol.gap < 1e-3 * scale) & (sol.pri_res < 1e-3 * scale)
+                & jnp.all(jnp.isfinite(sol.x)))
+        return jnp.where(good, obj, jnp.inf), sol
+
+    objs, sols = jax.vmap(try_alpha)(alphas)
+    best = jnp.argmin(objs)
+    best_sol = jax.tree.map(lambda a: a[best], sols)
+    return alphas[best], objs[best], best_sol
+
+
 @highest_matmul_precision
 def gait_opt_update(cfg: MPCConfig, params: SRBParams,
                     state: solver_mod.SolverState, x0_man: jax.Array,
                     t0: jax.Array, ee_pos0: jax.Array,
                     x_des_tan: jax.Array,
                     trust: jax.Array | float | None = None) -> GaitOptResult:
-    """One full bilevel update: gradient -> projection QP -> line search ->
-    trust-region acceptance.
+    """One full bilevel update, REPLACING one inner RTI: production solve
+    (captured) -> IFT gradient at that solution -> projection QP -> paid
+    line-search lanes -> trust-region acceptance.
 
-    Reference cadence: MPCController::GaitOpt phases (b)+(c)
-    (controllers/mpc_controller.cpp:518-573).  Acceptance mirrors the
-    reference's predicted-vs-actual cost-reduction ratio test with radius
-    adaptation (gait_optimizer.cpp:199-211,355,568-579): with Bk = 0 the
-    model reduction of the step alpha*d is -alpha*g.d; a step whose actual
-    reduction falls below tr_eta_low of that is rejected (the alpha=0 lane's
-    state is kept) and the radius shrinks; strong agreement grows it.
+    This is the reference's exact cadence: MPCController::GaitOpt phase (b)
+    is "solve + compute bilevel derivatives from THAT solve"
+    (controllers/mpc_controller.cpp:518-573, mpc/mpc.cpp:1047-1056) — the
+    gradient costs one adjoint KKT solve, not a second forward solve.  Call
+    this INSTEAD of solve_step on gait-opt ticks; rti_stats carries the
+    embedded solve's stats.
+
+    Acceptance mirrors the reference's predicted-vs-actual cost-reduction
+    ratio test with radius adaptation (gait_optimizer.cpp:199-211,355,
+    568-579): with Bk = 0 the model reduction of the step alpha*d is
+    -alpha*g.d; a step whose actual reduction falls below tr_eta_low of
+    that is rejected (the embedded RTI's state is kept — a full-depth
+    alpha=0 baseline) and the radius shrinks; strong agreement grows it.
 
     Pass the returned ``trust`` back in as the next call's ``trust`` to run
     the adaptive loop; omit it for a stateless fixed-radius update.
@@ -230,38 +325,63 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
     dtype = x0_man.dtype
     trust_in = jnp.asarray(cfg.trust_region if trust is None else trust,
                            dtype)
-    g = outer_gradient(cfg, params, state.traj, x0_man, t0, ee_pos0,
-                       x_des_tan, state.ee_box, warm=state.qp_warm)
+
+    # ---- phase (b): the production RTI, its QP + solution captured -------
+    st1, stats, ext = solver_mod.solve_step(cfg, params, state, x0_man, t0,
+                                            ee_pos0, x_des_tan,
+                                            return_ext=True)
+
+    # ---- IFT gradient at the captured solution ---------------------------
+    g = outer_gradient_at(cfg, params, ext.traj_lin, x0_man, t0, ee_pos0,
+                          x_des_tan, state.ee_box, ext.sol)
     # derivative quality gate (the reference only consumes QP derivatives
-    # from a successful solve, mpc/mpc.cpp:1047-1056): a non-finite
-    # gradient zeroes the step, which the ratio test then rejects
-    g = jnp.where(jnp.all(jnp.isfinite(g)), g, jnp.zeros_like(g))
-    d = contact_time_step(cfg, state.traj.sched, g, t0, trust=trust_in)
-    res = line_search(cfg, params, state, d, x0_man, t0, ee_pos0, x_des_tan)
+    # from a successful solve, mpc/mpc.cpp:1047-1056): an unsolved QP or
+    # non-finite gradient zeroes the step, which the ratio test rejects
+    g = jnp.where(stats.solved & jnp.all(jnp.isfinite(g)), g,
+                  jnp.zeros_like(g))
+
+    # ---- projected step + paid lanes -------------------------------------
+    d = contact_time_step(cfg, st1.traj.sched, g, t0, trust=trust_in)
+    win_alpha, win_obj, win_sol = _lane_search(cfg, params, st1, d,
+                                               x0_man, t0, ee_pos0,
+                                               x_des_tan)
+    # alpha=0 baseline on the SAME metric: the converged QP objective of
+    # the embedded production solve (free — computed from the captured
+    # solution)
+    qp0, sol0 = ext.qp, ext.sol
+    cost0 = (0.5 * sol0.x @ qp0.H @ sol0.x + qp0.q @ sol0.x
+             + qp0.cost_const)
+    cost0 = jnp.where(stats.solved, cost0, jnp.inf)
 
     # ---- ratio test (predicted reduction of the linear model, Bk = 0) ----
     # the projection QP normalizes g to unit inf-norm before stepping; use
-    # the same scaling so predicted and actual reductions are comparable
+    # the same scaling so predicted and actual reductions are comparable.
+    # Both cost0 and the lane objectives are converged values of the same
+    # smooth H(theta), so predicted-vs-actual is an apples-to-apples
+    # Taylor-model test (gait_optimizer.cpp:199-211).
     g_n = g / jnp.maximum(1.0, jnp.max(jnp.abs(g)))
-    pred = -res.alpha * jnp.sum(g_n * d)          # > 0 for a descent step
-    actual = res.cost0 - res.cost                 # argmin => >= 0 if lane0 ok
+    pred = -win_alpha * jnp.sum(g_n * d)          # > 0 for a descent step
+    actual = cost0 - win_obj
     tiny = jnp.asarray(100 * jnp.finfo(dtype).eps, dtype)
     ratio = actual / jnp.maximum(pred, tiny)
-    took_step = (res.alpha > 0) & jnp.isfinite(res.cost)
+    took_step = jnp.isfinite(win_obj) & (win_obj < cost0)
     accepted = took_step & (pred > tiny) & (ratio >= cfg.tr_eta_low)
 
-    # reject: keep the gait of the alpha=0 lane (= an ordinary RTI solve at
-    # the unchanged contact times) when it solved, else the prior state
-    lane0_ok = jnp.isfinite(res.cost0)
-
-    def pick(acc_leaf, rej_leaf):
-        return jnp.where(accepted, acc_leaf, rej_leaf)
-
-    # re-run of lane 0 is free: line_search keeps only the argmin state, so
-    # rebuild the rejected state as "current bounds, fresh warm start kept"
-    rej_state = solver_mod.SolverState(traj=state.traj, ee_box=state.ee_box,
-                                       qp_warm=state.qp_warm)
-    new_state = jax.tree.map(pick, res.state, rej_state)
+    # install: the winner's BOUNDS and its converged solution as the next
+    # warm start; trajectory variables stay and are re-converged by the
+    # next guarded RTIs.  Reject: keep the embedded RTI's state unchanged
+    # (the reference's "alpha = 0" outcome).
+    bounds_new = jnp.where(accepted,
+                           st1.traj.sched.bounds + win_alpha * d,
+                           st1.traj.sched.bounds)
+    traj_new = dataclasses.replace(st1.traj,
+                                   sched=GaitSchedule(bounds=bounds_new))
+    warm_new = st1.qp_warm
+    if warm_new is not None:
+        warm_new = jax.tree.map(
+            lambda w, l: jnp.where(accepted, l, w), warm_new, win_sol)
+    new_state = solver_mod.SolverState(traj=traj_new, ee_box=st1.ee_box,
+                                       qp_warm=warm_new)
 
     grow = accepted & (ratio >= cfg.tr_eta_high)
     trust_new = jnp.where(
@@ -270,8 +390,7 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
                   jnp.maximum(trust_in * cfg.tr_shrink, cfg.tr_min)))
     return GaitOptResult(
         state=new_state,
-        alpha=jnp.where(accepted, res.alpha, 0.0),
-        cost=jnp.where(accepted, res.cost,
-                       jnp.where(lane0_ok, res.cost0, jnp.inf)),
-        grad_norm=res.grad_norm, cost0=res.cost0, trust=trust_new,
-        accepted=accepted)
+        alpha=jnp.where(accepted, win_alpha, 0.0),
+        cost=jnp.where(accepted, win_obj, cost0),
+        grad_norm=jnp.linalg.norm(d), cost0=cost0, trust=trust_new,
+        accepted=accepted, rti_stats=stats)

@@ -62,6 +62,17 @@ def make_state(cfg: MPCConfig, traj: Trajectory, ee_box: jax.Array,
     return SolverState(traj=traj, ee_box=ee_box, qp_warm=neutral)
 
 
+class SolveExt(NamedTuple):
+    """Internals of one RTI, captured for the bilevel outer loop: the
+    assembled QP, its solution, and the trajectory the QP was linearized
+    around (post-window-shift, pre-update).  The reference's GaitOpt phase
+    (b) consumes exactly these from the just-completed production solve
+    (ComputeDerivativeTerms, mpc/mpc.cpp:1047-1069)."""
+    qp: "qp_mod.CondensedQP"
+    sol: "pdip.QPSolution"
+    traj_lin: Trajectory
+
+
 class SolveStats(NamedTuple):
     """Per-solve stats table — reference RecordStats/PrintStats columns
     (mpc/mpc.cpp:804-899)."""
@@ -96,8 +107,12 @@ def _defect_l1(cfg: MPCConfig, params: SRBParams, xs_tan: jax.Array,
 def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
                x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
                x_des_tan: jax.Array,
-               shift_window: bool = True) -> tuple[SolverState, SolveStats]:
-    """One real-time iteration.  Pure; jit/vmap over scenarios freely."""
+               shift_window: bool = True, return_ext: bool = False):
+    """One real-time iteration.  Pure; jit/vmap over scenarios freely.
+
+    Returns (state, stats), or (state, stats, SolveExt) when
+    ``return_ext`` — the captured QP/solution feed the bilevel gradient
+    without a second forward solve."""
     traj = state.traj
     unravel = make_unravel(cfg)
     dtype = x0_man.dtype
@@ -171,9 +186,18 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
     dir_deriv = jnp.dot(grad_cost, p_u) - mu * defect0
 
     armijo_ok = (merit0 - merits) >= -1e-5 * alphas * dir_deriv
-    # largest alpha passing Armijo; fall back to the smallest candidate
+    # largest alpha passing Armijo; NO candidate passing means the QP
+    # direction is not a merit descent direction at any tried scale (strong
+    # linearization error) — reject the step entirely (alpha = 0).  Falling
+    # back to the smallest candidate instead compounds into an uphill creep:
+    # measured on a hard pushed/mistimed scenario, 36 consecutive 2^-10
+    # fallback steps each INCREASED the merit (cost 2224 -> 6889) while the
+    # defect barely moved.  The reference likewise keeps the previous
+    # solution when its line search cannot improve the merit
+    # (mpc/mpc.cpp:730-747, mpc_single_rigid_body.cpp:115-129).
     first_ok = jnp.argmax(armijo_ok)
-    alpha = jnp.where(jnp.any(armijo_ok), alphas[first_ok], alphas[-1])
+    alpha = jnp.where(jnp.any(armijo_ok), alphas[first_ok],
+                      jnp.zeros((), dtype))
     alpha = jnp.where(good, alpha, jnp.zeros((), dtype))
 
     # ------- update (ConvertQPSolToTrajectory, mpc_single_rigid_body.cpp:
@@ -205,7 +229,10 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
         step_norm=jnp.linalg.norm(p_u) * alpha, alpha=alpha,
         qp_gap=sol.gap, qp_pri=sol.pri_res, qp_dua=sol.dua_res,
         solved=good)
-    return SolverState(traj=traj_new, ee_box=ee_box, qp_warm=new_warm), stats
+    new_state = SolverState(traj=traj_new, ee_box=ee_box, qp_warm=new_warm)
+    if return_ext:
+        return new_state, stats, SolveExt(qp=qp, sol=sol, traj_lin=traj)
+    return new_state, stats
 
 
 @highest_matmul_precision

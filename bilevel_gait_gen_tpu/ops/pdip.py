@@ -329,6 +329,29 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
     dtype = q.dtype
 
     n_real, m_real = n, m
+    if iters == 0 and warm is not None:
+        # IFT-at-solution fast path (bilevel.outer_gradient_at): the caller
+        # already holds the solution of THIS QP (the production RTI's), so
+        # the forward pass is the identity on the warm point — skip the
+        # Mehrotra initialization's two factorizations entirely.  The
+        # backward custom-VJP then evaluates the adjoint at this point,
+        # mirroring the reference's derivatives-from-the-production-solve
+        # (mpc/mpc.cpp:1047-1056).
+        g_active = jnp.any(G != 0, axis=-1)
+        m_act = jnp.maximum(jnp.sum(g_active), 1).astype(dtype)
+        wx, wy, wlam, ws, _ = warm
+        x, y = wx, wy
+        s = jnp.where(g_active, ws, 1.0)
+        lam = jnp.where(g_active, wlam, 1e-6).astype(dtype)
+        gap = jnp.dot(s, lam) / m_act
+        pri = jnp.max(jnp.abs(A @ x - b)) if p > 0 else jnp.zeros((), dtype)
+        r_g = G @ x + s - h
+        pri = jnp.maximum(pri,
+                          jnp.max(jnp.abs(jnp.where(g_active, r_g, 0.0))))
+        dua = jnp.max(jnp.abs(H @ x + q + A.T @ y + G.T @ lam))
+        return QPSolution(x=x, y=y, lam=lam, s=s,
+                          iters=jnp.zeros((), jnp.int32), gap=gap,
+                          pri_res=pri, dua_res=dua)
     if use_pallas:
         # pad to MXU/VPU-friendly shapes (lane dim multiples of 128).  The
         # padded rows follow the masked-row convention the solver already

@@ -119,14 +119,18 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
                 st_in.traj.sched, mc_now, jnp.asarray(t, dtype))
             st_in = dataclasses.replace(
                 st_in, traj=dataclasses.replace(st_in.traj, sched=sched2))
-            st, stats = mpc_step(st_in, x_srb, jnp.asarray(t, dtype), feet)
             if gait_opt_freq and holder["n"] % gait_opt_freq \
                     == gait_opt_freq - 1:
-                res = gopt(st, x_srb, jnp.asarray(t, dtype), feet,
+                # gait_opt_update embeds the production RTI, replacing
+                # solve_step on gait ticks (reference phase (b))
+                res = gopt(st_in, x_srb, jnp.asarray(t, dtype), feet,
                            holder["trust"])
-                st = res.state
+                st, stats = res.state, res.rti_stats
                 holder["trust"] = res.trust
                 holder["accepts"] += int(bool(res.accepted))
+            else:
+                st, stats = mpc_step(st_in, x_srb, jnp.asarray(t, dtype),
+                                     feet)
             jax.block_until_ready(st.traj.x_man)
             holder["state"] = st
             holder["t0"] = t

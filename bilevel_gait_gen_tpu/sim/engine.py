@@ -164,20 +164,32 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
                     st_.traj.sched, mc, t)
                 st_ = dataclasses.replace(
                     st_, traj=dataclasses.replace(st_.traj, sched=sched2))
-            st2, stats = solver_mod.solve_step(cfg, params, st_, x_srb, t,
-                                               feet, x_des_tan)
             if gait_opt_every > 0:
+                # gait_opt_update EMBEDS the production RTI (reference phase
+                # (b) "solve + derivatives", mpc_controller.cpp:518-573), so
+                # it replaces solve_step on gait-opt ticks
                 def do_gait(st3):
                     res = bilevel_mod.gait_opt_update(cfg, params, st3,
                                                       x_srb, t, feet,
                                                       x_des_tan)
-                    return res.state
+                    return (res.state, res.rti_stats.cost,
+                            res.rti_stats.solved)
+
+                def do_rti(st3):
+                    st2, stats = solver_mod.solve_step(cfg, params, st3,
+                                                       x_srb, t, feet,
+                                                       x_des_tan)
+                    return st2, stats.cost, stats.solved
 
                 mpc_idx = i // mpc_every
-                st2 = jax.lax.cond(
+                st2, cost, solved = jax.lax.cond(
                     (mpc_idx % gait_opt_every == 0) & (mpc_idx > 0),
-                    do_gait, lambda s: s, st2)
-            return st2, t, stats.cost, stats.solved
+                    do_gait, do_rti, st_)
+            else:
+                st2, stats = solver_mod.solve_step(cfg, params, st_, x_srb,
+                                                   t, feet, x_des_tan)
+                cost, solved = stats.cost, stats.solved
+            return st2, t, cost, solved
 
         def no_mpc(args):
             _, _, st_, t0_ = args

@@ -140,15 +140,31 @@ class MPCConfig:
     # Outer (gait) optimizer
     min_dwell: float = 0.2          # gait_optimizer.cpp:412
     trust_region: float = 1.0       # initial Delta, gait_optimizer.cpp:43
-    ls_alphas: int = 10             # LS_SIZE, gait_optimizer.h:164
+    # alpha-grid size INCLUDING alpha=0.  The alpha=0 lane is free: it is
+    # the production RTI embedded in gait_opt_update (the reference's phase
+    # (b) "solve + derivatives", controllers/mpc_controller.cpp:518-573), so
+    # ls_alphas-1 extra solves are paid.  The reference's LS_SIZE=10
+    # (gait_optimizer.h:164) is an OpenMP-thread-count artifact; 5 lanes on
+    # the grid {0, 1/4, 1/2, 3/4, 1} rank the step scale just as well
+    # because the trust-region radius adapts the magnitude between updates.
+    ls_alphas: int = 5
     # IPM sweeps inside the gait-opt line-search lanes (0 = ipm_iters).
     # The lanes only rank candidate contact-time steps by cost and seed the
     # next warm start — the winner is re-solved at full depth on the very
     # next RTI — so warm-started lanes converge enough in about half the
     # production sweep count.  The trust-region ratio test rejects any step
-    # whose lane cost was ranked wrong.  (Perf: the 10-lane search is the
-    # bulk of the gait-opt update's cost, ~10 RTI-equivalents at full depth.)
+    # whose lane cost was ranked wrong.  (Perf: the lane search is the
+    # bulk of the gait-opt update's cost.)
     ls_ipm_iters: int = 5
+    # extra IPM polish sweeps on the captured RTI solution before the IFT
+    # gradient is taken (0 = gradient exactly at the RTI solution).  The
+    # reference derives its QP derivatives from a 1e-15-gap Clarabel solve
+    # (a1_configuration.yaml:189-200); two warm sweeps recover most of that
+    # margin at ~2 iteration-costs.
+    ipm_grad_polish: int = 2
+    # projection-QP iteration budget (contact_time_step); convergence at
+    # this budget is pinned by tests/test_bilevel.py
+    proj_iters: int = 15
     # trust-region acceptance/adaptation (gait_optimizer.cpp:199-211,568-579):
     # a step is accepted when actual/predicted cost reduction >= tr_eta_low;
     # the radius grows by tr_grow on strong agreement (>= tr_eta_high),

@@ -72,6 +72,8 @@ def main():
             x_srb = mpc_controller.reconstruct_srb_state(model, params, qj, vj)
             feet = rbd.ee_positions(model, qj)
             if holder["n"] > 0 and holder["n"] % gait_opt_freq == 0:
+                # the bilevel update embeds the production RTI (reference
+                # phase (b)), so it replaces mpc_step on gait ticks
                 tm = time.perf_counter()
                 res = gait_step(holder["state"], x_srb,
                                 jnp.asarray(t, dtype), feet)
@@ -80,9 +82,11 @@ def main():
                 holder["alphas"].append(float(res.alpha))
                 holder["g_ms"] += (time.perf_counter() - tm) * 1e3
                 holder["n_g"] += 1
-            st2, stats = mpc_step(holder["state"], x_srb,
-                                  jnp.asarray(t, dtype), feet)
-            holder["state"] = st2
+                stats = res.rti_stats
+            else:
+                st2, stats = mpc_step(holder["state"], x_srb,
+                                      jnp.asarray(t, dtype), feet)
+                holder["state"] = st2
             holder["t0"] = t
             holder["n"] += 1
             holder["costs"].append(float(stats.cost))

@@ -143,7 +143,7 @@ def test_trust_region_rejects_poisoned_step(monkeypatch):
         "test precondition: final boundary must stay beyond the horizon"
     g_fake = np.zeros_like(bounds)
     g_fake[:, -1] = -1.0      # push the final boundary later (always feasible)
-    monkeypatch.setattr(bilevel, "outer_gradient",
+    monkeypatch.setattr(bilevel, "outer_gradient_at",
                         lambda *a, **k: jnp.asarray(g_fake))
     res = bilevel.gait_opt_update(CFG, PARAMS, STATE, X0, jnp.array(0.0),
                                   FEET0, X_DES, trust=CFG.trust_region)
