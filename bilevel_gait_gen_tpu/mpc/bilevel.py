@@ -130,9 +130,18 @@ def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
     g = g / jnp.maximum(1.0, jnp.max(jnp.abs(g)))
     trust = jnp.asarray(cfg.trust_region if trust is None else trust, dtype)
 
-    # pin boundaries at/before t0 (the reference pins the first node and the
-    # frozen next touchdown, :491-534; past boundaries must not move)
-    pinned = (b <= t0).reshape(-1)
+    # pin boundaries at/before t0 (past must not move) AND each EE's FIRST
+    # upcoming boundary — the reference's next-touchdown-frozen constraints
+    # (gait_optimizer.cpp:491-534).  Without the freeze, accepted steps
+    # retime transitions the robot is already executing (a mid-swing leg's
+    # touchdown slides under it); measured in the 3 s closed-loop trot this
+    # destabilizes at ANY trust radius (z_min 0.02-0.05 vs 0.27 stable),
+    # while freezing the imminent boundary restores a stable loop with the
+    # optimizer active.
+    past = b <= t0
+    first_future = jnp.argmin(jnp.where(past, jnp.inf, b), axis=1)
+    imminent = jax.nn.one_hot(first_future, P1, dtype=bool)
+    pinned = (past | imminent).reshape(-1)
 
     rho = jnp.asarray(1.0, dtype)       # small damping makes the LP a QP
     H = rho * jnp.eye(n, dtype=dtype)
@@ -221,8 +230,10 @@ def line_search(cfg: MPCConfig, params: SRBParams,
         traj_a = Trajectory(x_man=state.traj.x_man, f_nodes=state.traj.f_nodes,
                             footholds=state.traj.footholds,
                             sched=GaitSchedule(bounds=bounds_a))
+        # qp_warm=None: the carried warm start belongs to the theta_0 QP and
+        # poisons shifted-theta solves (see _lane_search's cold rationale)
         st_a = solver_mod.SolverState(traj=traj_a, ee_box=state.ee_box,
-                                      qp_warm=state.qp_warm)
+                                      qp_warm=None)
         st_a, stats = solver_mod.solve_step(cfg_lane, params, st_a, x0_man,
                                             t0, ee_pos0, x_des_tan,
                                             shift_window=False)
@@ -265,9 +276,25 @@ def _lane_search(cfg: MPCConfig, params: SRBParams,
     warm start; the trajectory itself is re-converged by the next guarded
     RTIs (merit line search), which also paces the transient.
 
-    Each lane is assemble + a warm ls_ipm_iters-sweep QP solve — no merit
+    Each lane is assemble + a COLD ls_ipm_iters-sweep QP solve — no merit
     scan or trajectory conversion, so lanes are ~40% cheaper than full
     solve_steps.
+
+    Cold, deliberately: the carried warm start is the solution of the
+    theta_0 QP, whose slacks/duals are inconsistent with the candidate's
+    shifted constraints — the classic IPM stale-warm-start pathology.
+    Measured on a converged A1 trot state (f64, |d|_inf = 0.22): at 5
+    sweeps the warm-started lane objective is off by 1e3-1e5 and MIS-RANKS
+    the candidates (picks alpha 0.25 over the true winner 0.75), while the
+    cold Mehrotra start — whose initializer solves the equality-relaxed QP
+    — lands within 0.3% of the converged objective at every alpha and
+    preserves the full-depth ranking (pinned by
+    tests/test_bilevel.py::test_lane_depth_ranks_like_full_depth).
+    ls_exact_every: the solver always factorizes exactly on the first two
+    (cold) iterations; after that Newton-Schulz inverse tracking keeps the
+    ranking (measured: identical alpha pick and objectives within 2% of
+    all-exact at every depth 3-5) at GEMM cost instead of
+    factorization-latency cost.
     """
     LS = max(cfg.ls_alphas - 1, 1)
     alphas = (jnp.arange(LS, dtype=x0_man.dtype) + 1.0) / LS
@@ -280,8 +307,7 @@ def _lane_search(cfg: MPCConfig, params: SRBParams,
         qp = qp_mod.assemble(cfg, params, traj_a, x0_man, t0, ee_pos0,
                              x_des_tan, st1.ee_box)
         sol = pdip.solve(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h, iters=iters,
-                         tol=cfg.ipm_tol, exact_every=cfg.ipm_exact_every,
-                         warm=st1.qp_warm)
+                         tol=cfg.ipm_tol, exact_every=cfg.ls_exact_every)
         obj = 0.5 * sol.x @ qp.H @ sol.x + qp.q @ sol.x + qp.cost_const
         # same solve-quality gate as the RTI (solver.solve_step)
         scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(qp.q)), jnp.abs(obj))

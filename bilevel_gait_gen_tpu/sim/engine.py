@@ -140,7 +140,7 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
     sub_dt = control_dt / sim.substeps
 
     def tick(carry, i):
-        q, v, st, t0, mc_prev = carry
+        q, v, st, t0, mc_prev, trust = carry
         t = i.astype(dtype) * control_dt
 
         # hysteresis contact gating (DESIGN.md stability fix #2): latch
@@ -152,7 +152,7 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
         mc = enter | (mc_prev & stay)
 
         def do_mpc(args):
-            q_, v_, st_, _ = args
+            q_, v_, st_, _, trust_ = args
             x_srb = mpc_controller.reconstruct_srb_state(model, params, q_, v_)
             feet = rbd.ee_positions(model, q_)
             if contact_sync:
@@ -169,34 +169,39 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
                 # (b) "solve + derivatives", mpc_controller.cpp:518-573), so
                 # it replaces solve_step on gait-opt ticks
                 def do_gait(st3):
+                    # trust radius carried across updates: rejected steps
+                    # shrink it, strong agreement grows it (the reference's
+                    # radius adaptation, gait_optimizer.cpp:568-579)
                     res = bilevel_mod.gait_opt_update(cfg, params, st3,
                                                       x_srb, t, feet,
-                                                      x_des_tan)
+                                                      x_des_tan,
+                                                      trust=trust_)
                     return (res.state, res.rti_stats.cost,
-                            res.rti_stats.solved)
+                            res.rti_stats.solved, res.trust)
 
                 def do_rti(st3):
                     st2, stats = solver_mod.solve_step(cfg, params, st3,
                                                        x_srb, t, feet,
                                                        x_des_tan)
-                    return st2, stats.cost, stats.solved
+                    return st2, stats.cost, stats.solved, trust_
 
                 mpc_idx = i // mpc_every
-                st2, cost, solved = jax.lax.cond(
+                st2, cost, solved, trust2 = jax.lax.cond(
                     (mpc_idx % gait_opt_every == 0) & (mpc_idx > 0),
                     do_gait, do_rti, st_)
             else:
                 st2, stats = solver_mod.solve_step(cfg, params, st_, x_srb,
                                                    t, feet, x_des_tan)
-                cost, solved = stats.cost, stats.solved
-            return st2, t, cost, solved
+                cost, solved, trust2 = stats.cost, stats.solved, trust_
+            return st2, t, cost, solved, trust2
 
         def no_mpc(args):
-            _, _, st_, t0_ = args
-            return st_, t0_, jnp.asarray(jnp.nan, dtype), jnp.asarray(True)
+            _, _, st_, t0_, trust_ = args
+            return (st_, t0_, jnp.asarray(jnp.nan, dtype),
+                    jnp.asarray(True), trust_)
 
-        st, t0, cost, solved = jax.lax.cond(i % mpc_every == 0, do_mpc,
-                                            no_mpc, (q, v, st, t0))
+        st, t0, cost, solved, trust = jax.lax.cond(
+            i % mpc_every == 0, do_mpc, no_mpc, (q, v, st, t0, trust))
 
         tau = mpc_controller.control_action(model, params, cfg, wb_cfg,
                                             st.traj, q, v, t, t0, mc)
@@ -208,12 +213,14 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
 
         (q, v), _ = jax.lax.scan(sub, (q, v), None, length=sim.substeps)
         x_srb = mpc_controller.reconstruct_srb_state(model, params, q, v)
-        return (q, v, st, t0, mc), SimLog(q=q, v=v, srb_state=x_srb, tau=tau,
-                                          cost=cost, solved=solved)
+        return (q, v, st, t0, mc, trust), SimLog(q=q, v=v, srb_state=x_srb,
+                                                 tau=tau, cost=cost,
+                                                 solved=solved)
 
     mc0 = rbd.ee_positions(model, q0)[:, 2] < (sim.foot_radius
                                                + sim.contact_enter_margin)
-    (q, v, st, t0, _), log = jax.lax.scan(
-        tick, (q0, v0, state0, jnp.asarray(0.0, dtype), mc0),
+    (q, v, st, t0, _, _), log = jax.lax.scan(
+        tick, (q0, v0, state0, jnp.asarray(0.0, dtype), mc0,
+               jnp.asarray(cfg.trust_region, dtype)),
         jnp.arange(n_ticks))
     return st, log

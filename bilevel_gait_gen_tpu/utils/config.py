@@ -149,19 +149,29 @@ class MPCConfig:
     # because the trust-region radius adapts the magnitude between updates.
     ls_alphas: int = 5
     # IPM sweeps inside the gait-opt line-search lanes (0 = ipm_iters).
-    # The lanes only rank candidate contact-time steps by cost and seed the
-    # next warm start — the winner is re-solved at full depth on the very
-    # next RTI — so warm-started lanes converge enough in about half the
-    # production sweep count.  The trust-region ratio test rejects any step
-    # whose lane cost was ranked wrong.  (Perf: the lane search is the
-    # bulk of the gait-opt update's cost.)
+    # Lanes run COLD (the carried warm start belongs to the theta_0 QP and
+    # mis-ranks shifted-theta candidates — see bilevel._lane_search): the
+    # Mehrotra initializer solves the equality-relaxed QP, and 5 cold
+    # sweeps land within ~0.3% of the converged objective, preserving the
+    # full-depth ranking (tests/test_bilevel.py::
+    # test_lane_depth_ranks_like_full_depth).  (Perf: the lane search is
+    # the bulk of the gait-opt update's cost.)
     ls_ipm_iters: int = 5
+    # Newton-Schulz cadence inside the lanes (pdip always factorizes the
+    # first two iterations exactly; NS-tracked iterations after that cost
+    # GEMMs instead of factorization latency and keep the ranking —
+    # measured identical alpha pick at depths 3-5).  1 = all exact.
+    ls_exact_every: int = 5
     # extra IPM polish sweeps on the captured RTI solution before the IFT
-    # gradient is taken (0 = gradient exactly at the RTI solution).  The
+    # gradient is taken (0 = gradient exactly at the RTI solution, zero
+    # forward factorizations — the iters=0 fast path in pdip).  The
     # reference derives its QP derivatives from a 1e-15-gap Clarabel solve
-    # (a1_configuration.yaml:189-200); two warm sweeps recover most of that
-    # margin at ~2 iteration-costs.
-    ipm_grad_polish: int = 2
+    # (a1_configuration.yaml:189-200), but measured from a full-depth warm
+    # RTI solution the IFT gradient's FD error is IDENTICAL at 0/1/2 polish
+    # sweeps (max 2.2e-3 rel, tests/test_bilevel.py::
+    # test_outer_gradient_at_matches_fd_production_opts), so the polish is
+    # pure overhead in the default configuration.
+    ipm_grad_polish: int = 0
     # projection-QP iteration budget (contact_time_step); convergence at
     # this budget is pinned by tests/test_bilevel.py
     proj_iters: int = 15
