@@ -152,12 +152,12 @@ def main():
     st1, s1 = step1(state, x0, feet0)
     jax.block_until_ready(s1.cost)
     lats = []
-    for _ in range(200):
+    for _ in range(300):
         t1 = time.perf_counter()
         st1, s1 = step1(st1, x0, feet0)
         jax.block_until_ready(s1.cost)
         lats.append((time.perf_counter() - t1) * 1e3)
-    p50, p99 = (float(np.percentile(lats, p)) for p in (50, 99))
+    p50, p95, p99 = (float(np.percentile(lats, p)) for p in (50, 95, 99))
 
     # dispatch-noise floor: a noop round trip through the same path
     noop = jax.jit(lambda x: x + 1.0)
@@ -186,63 +186,68 @@ def main():
     resident_ms = chain_s / K * 1e3
 
     # ---- gait-opt A/B: does the outer loop pay for itself? ----------------
-    # CLOSED LOOP, fully on device (sim/engine.py): the reference's
-    # push-recovery scenario (apps/a1_config_distr_rejection.yaml) with the
-    # bilevel cadence on vs a frozen schedule.  Measured on this chip: at a
-    # 0.3 m/s push the frozen-schedule trot FALLS (z_min < 0) while the
-    # gait-opt cadence recovers upright and arrests the push — the
-    # reference's headline capability (test/gait_opt_line_search.cpp,
-    # gait_optimizer.cpp:671-753).  Asserted variant:
-    # tests/test_push_recovery.py.
+    # The reference's own demonstration is PLANNING-cost reduction over a
+    # rollout (test/gait_opt_line_search.cpp:112-203 reports avg cost with
+    # the optimizer active).  Scenario: the trot schedule deliberately
+    # MISTIMED — every phase stretched BENCH_AB_STRETCH x — so contact-time
+    # adaptation has something real to fix.  Both arms run the identical
+    # number of RTIs; the gait-on arm replaces every FREQ-th RTI with the
+    # bilevel update (the production cadence).  Metric: mean converged
+    # trajectory cost after the final cycle.  Asserted variant:
+    # tests/test_bilevel.py::test_gait_opt_reduces_cost_on_mistimed_schedule.
     ab = {}
     if os.environ.get("BENCH_AB", "1") != "0":
-        from bilevel_gait_gen_tpu.control import mpc_controller, wbqp
-        from bilevel_gait_gen_tpu.sim import engine
+        B_AB = int(os.environ.get("BENCH_AB_BATCH", "32"))
+        STRETCH = float(os.environ.get("BENCH_AB_STRETCH", "1.5"))
+        M_CYC = int(os.environ.get("BENCH_AB_CYCLES", "5"))
+        (_, _, _, _, _, st_ab, x_ab, f_ab) = make_problem(
+            cfg, B_AB, stretch=STRETCH)
+        vinit = jax.jit(jax.vmap(
+            lambda st, x, ee: solver.create_initial_run(cfg, params, st, x,
+                                                        ee, x_des),
+            in_axes=(0, 0, 0)))
+        st_ab, _ = vinit(st_ab, x_ab, f_ab)
+        vstep_ab = jax.jit(jax.vmap(
+            lambda st, x, ee: solver.solve_step(cfg, params, st, x, t0, ee,
+                                                x_des),
+            in_axes=(0, 0, 0)))
+        vgait_ab = jax.jit(jax.vmap(
+            lambda st, x, ee, tr: bilevel.gait_opt_update(
+                cfg, params, st, x, t0, ee, x_des, trust=tr),
+            in_axes=(0, 0, 0, 0)))
 
-        cfg_ab = MPCConfig(ipm_iters=18, force_carrier=True,
-                           double_support=0.15, carrier_ramp=0.15,
-                           swing_height=0.05, ls_alphas=4).validate()
-        wb_cfg = wbqp.WBQPConfig(torque_bound=30.0)
-        sim = engine.SimConfig()
-        model = a1.make_a1()
-        q0 = engine.settled_stand(model, sim,
-                                  jnp.asarray(a1.stand_config(), DTYPE))
-        params_ab = srb.make_srb_params(model, q0)
-        x0_ab = mpc_controller.reconstruct_srb_state(
-            model, params_ab, q0, jnp.zeros(model.nv, DTYPE))
-        feet_ab = rbd.ee_positions(model, q0).astype(DTYPE)
-        traj_ab = default_trajectory(cfg_ab, gait.make_trot(cfg_ab), x0_ab,
-                                     feet_ab[:, :2])
-        st_ab = solver.make_state(cfg_ab, traj_ab,
-                                  jnp.asarray(cfg_ab.ee_box_size, DTYPE))
-        xdes_ab = srb.manifold_to_tangent(x0_ab)
-        st_ab, _ = jax.jit(lambda s, x, e: solver.create_initial_run(
-            cfg_ab, params_ab, s, x, e, xdes_ab))(st_ab, x0_ab, feet_ab)
-        PUSH = float(os.environ.get("BENCH_AB_PUSH", "0.3"))
-        N_TICKS = int(os.environ.get("BENCH_AB_TICKS", "2000"))
-        v0 = jnp.zeros(model.nv, DTYPE).at[0].set(PUSH)
+        @jax.jit
+        def rti_block_ab(states):
+            def body(st, _):
+                st, stats = vstep_ab(st, x_ab, f_ab)
+                return st, stats.cost
+            return jax.lax.scan(body, states, None, length=FREQ - 1)
 
-        def ab_run(gait_every):
-            f = jax.jit(lambda s, q, v: engine.closed_loop(
-                model, params_ab, cfg_ab, wb_cfg, sim, s, q, v, xdes_ab,
-                n_ticks=N_TICKS, control_dt=0.001, mpc_every=50,
-                gait_opt_every=gait_every, contact_sync=True))
-            _, log = f(st_ab, q0, v0)
-            q = np.asarray(log.q)
-            v = np.asarray(log.v)
-            return (float(q[:, 2].min()),
-                    float(np.abs(v[-300:, 0]).mean()))
-
-        z_on, vx_on = ab_run(3)
-        z_off, vx_off = ab_run(0)
+        st_on = st_off = st_ab
+        trust_ab = jnp.full((B_AB,), cfg.trust_region, DTYPE)
+        accepts = []
+        for _ in range(M_CYC):
+            st_on, _ = rti_block_ab(st_on)
+            gres_ab = vgait_ab(st_on, x_ab, f_ab, trust_ab)
+            st_on, trust_ab = gres_ab.state, gres_ab.trust
+            accepts.append(np.asarray(gres_ab.accepted))
+            st_off, _ = rti_block_ab(st_off)
+            st_off, _ = vstep_ab(st_off, x_ab, f_ab)
+        _, stats_on = vstep_ab(st_on, x_ab, f_ab)
+        _, stats_off = vstep_ab(st_off, x_ab, f_ab)
+        c_on = float(jnp.mean(stats_on.cost))
+        c_off = float(jnp.mean(stats_off.cost))
+        lens_on = np.diff(np.asarray(st_on.traj.sched.bounds), axis=-1)
+        lens_off = np.diff(np.asarray(st_off.traj.sched.bounds), axis=-1)
         ab = {
-            "ab_push_m_s": PUSH,
-            "ab_z_min_gait_on": round(z_on, 3),
-            "ab_z_min_gait_off": round(z_off, 3),
-            "ab_vx_end_gait_on": round(vx_on, 3),
-            "ab_vx_end_gait_off": round(vx_off, 3),
-            "ab_recovered_gait_on": z_on > 0.2,
-            "ab_recovered_gait_off": z_off > 0.2,
+            "ab_schedule_stretch": STRETCH,
+            "ab_cost_gait_on": round(c_on, 1),
+            "ab_cost_gait_off": round(c_off, 1),
+            "ab_cost_reduction": round(c_off - c_on, 1),
+            "ab_accept_rate": round(float(np.mean(accepts)), 3),
+            "ab_phase_len_moved": round(
+                float(np.abs(lens_on - lens_off).max()), 4),
+            "ab_gait_opt_wins": bool(c_on < c_off),
         }
     accept_rate = float(jnp.mean(gres.accepted.astype(jnp.float32)))
 
@@ -284,6 +289,10 @@ def main():
         "gait_opt_update_ms": round(gait_opt_ms, 2),
         "batch_latency_ms": round(blk_s / FREQ * 1e3, 2),
         "single_solve_p50_ms": round(p50, 2),
+        "single_solve_p95_ms": round(p95, 2),
+        # p99 through the tunnel includes rare multi-x RPC hiccups on the
+        # shared link (noop dispatches show the same tail); the deployment
+        # latency is device_resident_solve_ms (the production loop shape)
         "single_solve_p99_ms": round(p99, 2),
         "dispatch_noop_p50_ms": round(noop_p50, 2),
         "device_resident_solve_ms": round(resident_ms, 2),

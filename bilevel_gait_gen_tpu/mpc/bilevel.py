@@ -140,7 +140,9 @@ def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
     # optimizer active.
     past = b <= t0
     first_future = jnp.argmin(jnp.where(past, jnp.inf, b), axis=1)
-    imminent = jax.nn.one_hot(first_future, P1, dtype=bool)
+    cols = jnp.arange(P1)
+    imminent = (cols[None, :] >= first_future[:, None]) & (
+        cols[None, :] < first_future[:, None] + cfg.gait_freeze_boundaries)
     pinned = (past | imminent).reshape(-1)
 
     rho = jnp.asarray(1.0, dtype)       # small damping makes the LP a QP
@@ -256,7 +258,7 @@ def line_search(cfg: MPCConfig, params: SRBParams,
 def _lane_search(cfg: MPCConfig, params: SRBParams,
                  st1: solver_mod.SolverState, step: jax.Array,
                  x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
-                 x_des_tan: jax.Array):
+                 x_des_tan: jax.Array, axis_name: str | None = None):
     """Paid line-search lanes: alpha on the grid {i/(LS-1), i=1..LS-1}
     (alpha=0 is the embedded RTI, already solved at full depth by the
     caller).  Reference: GaitOptimizer::LineSearch forks one full MPC solve
@@ -295,9 +297,24 @@ def _lane_search(cfg: MPCConfig, params: SRBParams,
     ranking (measured: identical alpha pick and objectives within 2% of
     all-exact at every depth 3-5) at GEMM cost instead of
     factorization-latency cost.
+
+    ``axis_name``: when set, the alpha grid is SHARDED over that mesh axis
+    (the TPU-native version of the reference's 10 OpenMP threads,
+    gait_optimizer.cpp:688): each shard solves its disjoint slice of lanes
+    locally and the argmin crosses shards with one tiny all_gather on ICI.
+    Call under shard_map with ls_alphas-1 divisible by the axis size; see
+    parallel.mesh.alpha_sharded_gait_opt_update.
     """
     LS = max(cfg.ls_alphas - 1, 1)
-    alphas = (jnp.arange(LS, dtype=x0_man.dtype) + 1.0) / LS
+    if axis_name is None:
+        alphas = (jnp.arange(LS, dtype=x0_man.dtype) + 1.0) / LS
+    else:
+        n_sh = jax.lax.axis_size(axis_name)
+        per = LS // n_sh
+        assert per * n_sh == LS, \
+            f"ls_alphas-1={LS} must divide the '{axis_name}' axis ({n_sh})"
+        lane0 = jax.lax.axis_index(axis_name) * per
+        alphas = (lane0 + jnp.arange(per, dtype=x0_man.dtype) + 1.0) / LS
     iters = cfg.ls_ipm_iters or cfg.ipm_iters
 
     def try_alpha(alpha):
@@ -316,6 +333,15 @@ def _lane_search(cfg: MPCConfig, params: SRBParams,
         return jnp.where(good, obj, jnp.inf), sol
 
     objs, sols = jax.vmap(try_alpha)(alphas)
+    if axis_name is not None:
+        # cross-shard argmin: gather the per-shard lane results (tiny: a
+        # few objectives + one QPSolution each) and reduce locally — XLA
+        # lowers the all_gather onto ICI
+        objs = jax.lax.all_gather(objs, axis_name).reshape(-1)
+        alphas = jax.lax.all_gather(alphas, axis_name).reshape(-1)
+        sols = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, axis_name).reshape(
+                (-1,) + a.shape[1:]), sols)
     best = jnp.argmin(objs)
     best_sol = jax.tree.map(lambda a: a[best], sols)
     return alphas[best], objs[best], best_sol
@@ -326,10 +352,14 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
                     state: solver_mod.SolverState, x0_man: jax.Array,
                     t0: jax.Array, ee_pos0: jax.Array,
                     x_des_tan: jax.Array,
-                    trust: jax.Array | float | None = None) -> GaitOptResult:
+                    trust: jax.Array | float | None = None,
+                    ls_axis_name: str | None = None) -> GaitOptResult:
     """One full bilevel update, REPLACING one inner RTI: production solve
     (captured) -> IFT gradient at that solution -> projection QP -> paid
     line-search lanes -> trust-region acceptance.
+
+    ``ls_axis_name``: shard the line-search lanes over that mesh axis (see
+    _lane_search / parallel.mesh.alpha_sharded_gait_opt_update).
 
     This is the reference's exact cadence: MPCController::GaitOpt phase (b)
     is "solve + compute bilevel derivatives from THAT solve"
@@ -370,7 +400,8 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
     d = contact_time_step(cfg, st1.traj.sched, g, t0, trust=trust_in)
     win_alpha, win_obj, win_sol = _lane_search(cfg, params, st1, d,
                                                x0_man, t0, ee_pos0,
-                                               x_des_tan)
+                                               x_des_tan,
+                                               axis_name=ls_axis_name)
     # alpha=0 baseline on the SAME metric: the converged QP objective of
     # the embedded production solve (free — computed from the captured
     # solution)

@@ -7,11 +7,13 @@ The reference has no distributed runtime — its only parallelism is a
 
 * ``scenario``: independent MPC problems (disturbance-rejection batches,
   parallel robots, Monte-Carlo rollouts) — pure data parallelism, DCN-capable;
-* ``alpha``: the gait-opt line-search lanes — vmapped locally and sharded
-  across chips when wide.
+* ``alpha``: the gait-opt line-search lanes — vmapped locally, and sharded
+  across chips via `alpha_sharded_gait_opt_update` (shard_map over a 2-axis
+  {scenario, alpha} mesh; the cross-shard argmin is one tiny all_gather on
+  ICI).
 
-Shardings are expressed with `jax.sharding.NamedSharding`; XLA inserts the
-collectives (the argmin over the alpha axis becomes an all-reduce on ICI).
+Shardings are expressed with `jax.sharding.NamedSharding` / `shard_map`;
+XLA inserts the collectives.
 """
 from __future__ import annotations
 
@@ -71,6 +73,58 @@ def batched_gait_opt_update(cfg: MPCConfig, params: SRBParams):
                                            x_des)
 
     return jax.jit(jax.vmap(upd, in_axes=(0, 0, None, 0, None)))
+
+
+def alpha_sharded_gait_opt_update(cfg: MPCConfig, params: SRBParams,
+                                  mesh: Mesh,
+                                  scenario_axis: str = "scenario",
+                                  alpha_axis: str = "alpha"):
+    """Bilevel update with the line-search lanes sharded over the mesh's
+    ``alpha`` axis and scenarios data-parallel over ``scenario``.
+
+    This is the TPU-native replacement for the reference's 10-OpenMP-thread
+    line search (gait_optimizer.cpp:688-721) at multi-chip scale: each
+    alpha-shard assembles + solves its disjoint slice of candidate QPs
+    locally; the winner crosses shards in one small all_gather (a few
+    objectives + one QPSolution per shard) over ICI.  Requires
+    cfg.ls_alphas-1 divisible by the alpha-axis size.
+
+    Returns a jitted fn(states, x0s, t0, ee0s, x_des) -> GaitOptResult with
+    batched leaves; inputs carry a leading scenario-batch axis (sharded or
+    not — shard_map fixes the layout).
+    """
+    import functools
+
+    from bilevel_gait_gen_tpu.mpc import bilevel as bilevel_mod
+
+    # the replication check must be off: the argmin result IS replicated
+    # over the alpha axis (identical on every shard after the all_gather),
+    # but jax's varying-axis tracking cannot prove it.  kwarg name differs
+    # across jax versions (check_vma >= 0.8, check_rep before).
+    try:
+        shard_map = functools.partial(jax.shard_map, check_vma=False)
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        shard_map = functools.partial(shard_map, check_rep=False)
+
+    def upd_one(state, x0, t0, ee0, x_des):
+        return bilevel_mod.gait_opt_update(cfg, params, state, x0, t0, ee0,
+                                           x_des, ls_axis_name=alpha_axis)
+
+    vupd = jax.vmap(upd_one, in_axes=(0, 0, None, 0, None))
+
+    # state/x0/ee0 batches are sharded over scenario and REPLICATED over
+    # alpha (every alpha-shard sees the same scenarios; lanes differ via
+    # axis_index inside _lane_search).  The result is identical on every
+    # alpha shard after the all_gather argmin, so the out_spec drops the
+    # alpha axis by keeping one copy.
+    in_spec = (P(scenario_axis), P(scenario_axis), P(), P(scenario_axis),
+               P())
+    out_spec = P(scenario_axis)
+
+    sharded = shard_map(vupd, mesh=mesh, in_specs=in_spec,
+                        out_specs=out_spec)
+    return jax.jit(sharded)
 
 
 def batched_initial_run(cfg: MPCConfig, params: SRBParams):

@@ -95,13 +95,17 @@ class MPCConfig:
     # exact inverse refresh cadence (Newton-Schulz GEMM tracking between);
     # >1 is safe for warm-started RTI problems and much faster on TPU
     ipm_exact_every: int = 3
-    # QP inner-iteration backend: "xla" = op stream (default; measured
+    # QP inner-iteration backend: "xla" = op stream (production; measured
     # faster both per-solve and on scenario batches — XLA tiles the batched
-    # GEMMs across problems on the MXU), "pallas" = fused single-kernel
-    # iteration (ops/pallas_kernels.py::ipm_iter; bit-compatible, lower
-    # compile latency, kept selectable for future VMEM-resident wins).
-    # Measured on v5e (BENCH_QP_KERNEL A/B, round 2): xla 1303 inner RTI/s
-    # vs pallas 851/s at batch 128.  Non-TPU backends always use XLA.
+    # GEMMs across problems on the MXU and overlaps the Cholesky custom
+    # calls), "pallas" = fused single-kernel iteration
+    # (ops/pallas_kernels.py::ipm_iter — RETIRED as a production path,
+    # kept as a documented, tested experiment).  Measured on the driver
+    # chip, BENCH_QP_KERNEL A/B: r2 xla 1303 vs pallas 851 inner RTI/s;
+    # r3 (batched-grid rerun) xla 1337 vs pallas 864 at batch 128.  The
+    # fused kernel re-streams the [m,n] constraint block from HBM per
+    # iteration; XLA's pipelined op stream hides that latency better.
+    # Non-TPU backends always use XLA.
     qp_kernel: str = "xla"
     # QP algorithm backend: "pdip" = interior point (production; tight gaps
     # for the bilevel derivatives, like the reference's Clarabel choice,
@@ -140,14 +144,21 @@ class MPCConfig:
     # Outer (gait) optimizer
     min_dwell: float = 0.2          # gait_optimizer.cpp:412
     trust_region: float = 1.0       # initial Delta, gait_optimizer.cpp:43
+    # per EE, freeze this many UPCOMING phase boundaries (after pinning all
+    # past ones) in the projection QP — the reference's next-touchdown-
+    # frozen constraints (gait_optimizer.cpp:491-534).  1 = the transition
+    # the robot is currently executing toward; larger values give the
+    # controller more settled phases before a retimed boundary arrives.
+    gait_freeze_boundaries: int = 1
     # alpha-grid size INCLUDING alpha=0.  The alpha=0 lane is free: it is
     # the production RTI embedded in gait_opt_update (the reference's phase
     # (b) "solve + derivatives", controllers/mpc_controller.cpp:518-573), so
     # ls_alphas-1 extra solves are paid.  The reference's LS_SIZE=10
-    # (gait_optimizer.h:164) is an OpenMP-thread-count artifact; 5 lanes on
-    # the grid {0, 1/4, 1/2, 3/4, 1} rank the step scale just as well
-    # because the trust-region radius adapts the magnitude between updates.
-    ls_alphas: int = 5
+    # (gait_optimizer.h:164) is an OpenMP-thread-count artifact; 3 paid
+    # lanes on the grid {0, 1/3, 2/3, 1} rank the step scale just as well
+    # because the trust-region radius adapts the magnitude between updates
+    # (the mistimed-schedule A/B keeps its full cost reduction at 3 lanes).
+    ls_alphas: int = 4
     # IPM sweeps inside the gait-opt line-search lanes (0 = ipm_iters).
     # Lanes run COLD (the carried warm start belongs to the theta_0 QP and
     # mis-ranks shifted-theta candidates — see bilevel._lane_search): the

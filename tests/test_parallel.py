@@ -68,6 +68,40 @@ def test_sharded_batch_matches_unsharded(setup):
     assert isinstance(sh, NamedSharding) or len(jax.devices()) == 1
 
 
+def test_alpha_sharded_gait_opt_matches_unsharded(setup):
+    """The line-search alpha axis sharded over a 2x4 {scenario, alpha} mesh
+    (the reference's OpenMP fork-join, gait_optimizer.cpp:688, as an ICI
+    axis) picks the same step as the local vmap."""
+    import dataclasses
+    cfg, params, st0, x0, feet0, x_des = setup
+    # 4 paid lanes so the 4-wide alpha axis gets one each
+    cfg = dataclasses.replace(cfg, ls_alphas=5)
+    st, _ = solver.create_initial_run(cfg, params, st0, x0, feet0, x_des)
+    B = 2
+    key = jax.random.PRNGKey(1)
+    x0s = x0[None, :] + 0.01 * jax.random.normal(key, (B, 13), jnp.float32
+                                                 ).at[:, 6:10].set(0.0)
+    states = jax.tree.map(lambda a: jnp.stack([a] * B), st)
+    feets = jnp.stack([feet0] * B)
+    t0 = jnp.asarray(0.0, jnp.float32)
+
+    plain = mesh_mod.batched_gait_opt_update(cfg, params)
+    res_plain = plain(states, x0s, t0, feets, x_des)
+
+    mesh = mesh_mod.make_mesh((2, 4), ("scenario", "alpha"))
+    sharded = mesh_mod.alpha_sharded_gait_opt_update(cfg, params, mesh)
+    res_shard = sharded(states, x0s, t0, feets, x_des)
+
+    assert (cfg.ls_alphas - 1) % 4 == 0, "test precondition"
+    np.testing.assert_allclose(np.asarray(res_plain.alpha),
+                               np.asarray(res_shard.alpha), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_plain.cost),
+                               np.asarray(res_shard.cost), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(res_plain.state.traj.sched.bounds),
+        np.asarray(res_shard.state.traj.sched.bounds), atol=2e-3)
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
