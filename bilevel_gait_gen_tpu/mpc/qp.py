@@ -317,8 +317,18 @@ def assemble_ad(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
         # raw COM->hip (GetCOMToHip), NOT the margin-widened EE-box center
         hip_r = (params.hip_offset_raw
                  * jnp.asarray(cfg.raibert_hip_scale)[None, :]).astype(dtype)
-        hip_b = jnp.tile(hip_r[:, None, :],
-                         (1, td_all.shape[1], 1)).reshape(-1)
+        # kappa again (eq_vals computes it inside its closure): capture
+        # stepping tracks the DESIRED momentum — see the fast path
+        t_st_b = bounds[:, 1::2] - bounds[:, 0:-1:2]
+        t_stance_b = jnp.concatenate(
+            [t_st_b, jnp.ones_like(t_st_b[:, :1])],
+            axis=-1)[:, :td_all.shape[1]]
+        vg_b = jnp.broadcast_to(jnp.asarray(cfg.raibert_vel_gain), (2,))
+        kappa_b = (vg_b[None, None, :] * t_stance_b[:, :, None]
+                   / (2.0 * params.mass)).astype(dtype)
+        h_des = x_des_tan[3:5].astype(dtype)
+        hip_b = (hip_r[:, None, :]
+                 - kappa_b * h_des[None, None, :]).reshape(-1)
         b_parts.append(hip_b - ev0[4 * E:])
         mask_parts.append(jnp.repeat(active.reshape(-1), 2))
     b_eq = jnp.concatenate(b_parts)
@@ -622,7 +632,15 @@ def assemble(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
                           * S_nodes[:, :, 3:5, :]).reshape(E * NT * 2, n_u)
         hip_r = (params.hip_offset_raw
                  * jnp.asarray(cfg.raibert_hip_scale)[None, :]).astype(dtype)
+        # capture stepping tracks the DESIRED momentum, not zero:
+        # foot = com + hip + kappa (h - h_des) — with h_des from the target
+        # state, walking commands place feet neutral at the commanded speed
+        # instead of fighting it (the biped's whole locomotion authority is
+        # foot placement; the reference's AddRaibertHeuristic has the same
+        # vel term with its gain shipped as 0.00, :1001-1008)
+        h_des = x_des_tan[3:5].astype(dtype)
         b_raib = (hip_r[:, None, :]
+                  - kappa * h_des[None, None, :]
                   + c_nodes[:, :, 0:2]
                   + kappa * c_nodes[:, :, 3:5]).reshape(-1)
         prv_sw = td_all - jnp.concatenate(

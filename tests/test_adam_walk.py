@@ -35,6 +35,23 @@ def test_adam_marches_5s():
     assert "WALKED" in proc.stdout
 
 
+def test_adam_walks_to_goal():
+    """Adam walks FORWARD 0.5 m to a commanded goal (VERDICT r3 item 5):
+    velocity-carrot walking via momentum-tracking Raibert rows.  Measured:
+    reaches the goal within 0.01 m at ~8 s, upright throughout; terminal
+    station-keeping drifts forward (no backward stepping) — the script's
+    biped criterion covers reach + upright + bounded drift."""
+    env = dict(os.environ)
+    env.pop("JAX_ENABLE_X64", None)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "run_mujoco_walk.py"),
+         "16", "--cpu", "--robot=adam", "--goal=0.5,0"],
+        capture_output=True, text=True, timeout=1500, env=env, cwd=ROOT)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "WALKED" in proc.stdout
+
+
 def test_a1_walks_to_position():
     """Walk-to-position (the reference's headline demo config,
     a1_configuration.yaml comments 180-204): A1 trots to a commanded
