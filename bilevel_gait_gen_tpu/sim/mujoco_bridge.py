@@ -145,19 +145,51 @@ class MujocoLoop:
                     flags[name_to_e[g]] = True
         return flags
 
-    def run(self, control_fn, n_steps: int, control_decimation: int = 1):
+    def run(self, control_fn, n_steps: int, control_decimation: int = 1,
+            viewer: bool = False, realtime: bool = False):
         """Step physics, calling control_fn every `control_decimation` steps.
-        Returns logged (qs, vs, taus)."""
+        Returns logged (qs, vs, taus).
+
+        viewer=True opens the interactive MuJoCo viewer for the run (the
+        reference's live `simulate` UI / Visualizer role,
+        simulation/mujoco_sim/simulator.cpp + visualization.cpp) — requires
+        a display; falls back to headless with a warning when unavailable.
+        realtime=True paces stepping to the wall clock (the reference's
+        real-time-paced demos, test/simulation_mpc.cpp:186-216)."""
+        handle = None
+        if viewer:
+            try:
+                import mujoco.viewer as _mjviewer
+                handle = _mjviewer.launch_passive(self.mj_model,
+                                                  self.mj_data)
+            except Exception as exc:  # headless / no GL
+                print(f"[mujoco_bridge] viewer unavailable ({exc}); "
+                      "running headless")
+        import time as _time
+        t_wall0 = _time.perf_counter()
         qs, vs, taus = [], [], []
         tau = np.zeros(self.model.num_joints, np.float64)
-        for k in range(n_steps):
-            if k % control_decimation == 0:
-                q, v = self.get_state()
-                tau = np.asarray(control_fn(q, v, k * self.timestep),
-                                 np.float64)
-            self.mj_data.ctrl[:] = tau
-            self._mujoco.mj_step(self.mj_model, self.mj_data)
-            qs.append(self.mj_data.qpos.copy())
-            vs.append(self.mj_data.qvel.copy())
-            taus.append(tau.copy())
+        try:
+            for k in range(n_steps):
+                if handle is not None and not handle.is_running():
+                    break
+                if k % control_decimation == 0:
+                    q, v = self.get_state()
+                    tau = np.asarray(control_fn(q, v, k * self.timestep),
+                                     np.float64)
+                self.mj_data.ctrl[:] = tau
+                self._mujoco.mj_step(self.mj_model, self.mj_data)
+                qs.append(self.mj_data.qpos.copy())
+                vs.append(self.mj_data.qvel.copy())
+                taus.append(tau.copy())
+                if handle is not None:
+                    handle.sync()
+                if realtime:
+                    lag = (k + 1) * self.timestep - (_time.perf_counter()
+                                                     - t_wall0)
+                    if lag > 0:
+                        _time.sleep(lag)
+        finally:
+            if handle is not None:
+                handle.close()
         return np.array(qs), np.array(vs), np.array(taus)

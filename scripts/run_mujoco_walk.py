@@ -4,7 +4,8 @@ Equivalent of the reference's mpc_sim demo (apps/mpc_sim_demo.cpp): MPC
 real-time iterations at the MPC rate + whole-body QP torques at the control
 rate, MuJoCo physics on the host.
 
-Usage: python scripts/run_mujoco_walk.py [seconds] [--cpu]
+Usage: python scripts/run_mujoco_walk.py [seconds] [--cpu] [--viewer]
+       [--realtime] [--robot=adam|mini_cheetah] [--goal=X,Y] [--push[=v]]
 """
 import dataclasses
 import os
@@ -350,7 +351,9 @@ def main():
         vs = np.concatenate([vs1, vs2])
         taus = np.concatenate([taus1, taus2])
     else:
-        qs, vs, taus = loop.run(control_fn, n_steps, control_decimation=1)
+        qs, vs, taus = loop.run(control_fn, n_steps, control_decimation=1,
+                                viewer="--viewer" in sys.argv,
+                                realtime="--realtime" in sys.argv)
     wall = time.time() - t_start
 
     z = qs[:, 2]
