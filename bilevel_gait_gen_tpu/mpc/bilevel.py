@@ -259,11 +259,19 @@ def _lane_search(cfg: MPCConfig, params: SRBParams,
                  st1: solver_mod.SolverState, step: jax.Array,
                  x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
                  x_des_tan: jax.Array, axis_name: str | None = None):
-    """Paid line-search lanes: alpha on the grid {i/(LS-1), i=1..LS-1}
-    (alpha=0 is the embedded RTI, already solved at full depth by the
-    caller).  Reference: GaitOptimizer::LineSearch forks one full MPC solve
-    per candidate and ranks by its cost (gait_optimizer.cpp:671-753); here
-    it is one vmap.
+    """Line-search lanes: alpha on the grid {i/(LS-1), i=0..LS-1} — the
+    alpha=0 baseline INCLUDED as a lane.  Reference: GaitOptimizer::
+    LineSearch forks one full MPC solve per candidate and ranks by its cost,
+    with the unchanged contact times one of the candidates
+    (gait_optimizer.cpp:671-753, GetContactTimes(0/LS)); here it is one
+    vmap.  Running alpha=0 through the identical per-candidate pipeline
+    (same linearization trajectory st1.traj, same ee_box, same cold solve
+    depth) keeps the ratio test's baseline consistent with the lane
+    objectives (ADVICE r3 medium): the embedded RTI's own full-depth
+    warm-started objective is assembled around the PRE-update trajectory,
+    and using it as cost0 lets the RTI's own improvement masquerade as the
+    schedule step's during transients.  Returns (win_alpha, win_obj,
+    win_sol, obj0).
 
     Lanes rank candidates by the CONVERGED inner-QP objective at the
     candidate contact times — the same smooth function H(theta) whose
@@ -302,19 +310,20 @@ def _lane_search(cfg: MPCConfig, params: SRBParams,
     (the TPU-native version of the reference's 10 OpenMP threads,
     gait_optimizer.cpp:688): each shard solves its disjoint slice of lanes
     locally and the argmin crosses shards with one tiny all_gather on ICI.
-    Call under shard_map with ls_alphas-1 divisible by the axis size; see
+    Call under shard_map with ls_alphas divisible by the axis size; see
     parallel.mesh.alpha_sharded_gait_opt_update.
     """
-    LS = max(cfg.ls_alphas - 1, 1)
+    LS = cfg.ls_alphas              # total lanes INCLUDING alpha=0
+    denom = float(max(LS - 1, 1))
     if axis_name is None:
-        alphas = (jnp.arange(LS, dtype=x0_man.dtype) + 1.0) / LS
+        alphas = jnp.arange(LS, dtype=x0_man.dtype) / denom
     else:
         n_sh = jax.lax.axis_size(axis_name)
         per = LS // n_sh
         assert per * n_sh == LS, \
-            f"ls_alphas-1={LS} must divide the '{axis_name}' axis ({n_sh})"
+            f"ls_alphas={LS} must divide the '{axis_name}' axis ({n_sh})"
         lane0 = jax.lax.axis_index(axis_name) * per
-        alphas = (lane0 + jnp.arange(per, dtype=x0_man.dtype) + 1.0) / LS
+        alphas = (lane0 + jnp.arange(per, dtype=x0_man.dtype)) / denom
     iters = cfg.ls_ipm_iters or cfg.ipm_iters
 
     def try_alpha(alpha):
@@ -344,7 +353,9 @@ def _lane_search(cfg: MPCConfig, params: SRBParams,
                 (-1,) + a.shape[1:]), sols)
     best = jnp.argmin(objs)
     best_sol = jax.tree.map(lambda a: a[best], sols)
-    return alphas[best], objs[best], best_sol
+    # objs[0] is the alpha=0 lane (lane order is preserved through the
+    # all_gather: shard 0 holds the lowest lane indices)
+    return alphas[best], objs[best], best_sol, objs[0]
 
 
 @highest_matmul_precision
@@ -396,19 +407,19 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
     g = jnp.where(stats.solved & jnp.all(jnp.isfinite(g)), g,
                   jnp.zeros_like(g))
 
-    # ---- projected step + paid lanes -------------------------------------
+    # ---- projected step + line-search lanes ------------------------------
     d = contact_time_step(cfg, st1.traj.sched, g, t0, trust=trust_in)
-    win_alpha, win_obj, win_sol = _lane_search(cfg, params, st1, d,
-                                               x0_man, t0, ee_pos0,
-                                               x_des_tan,
-                                               axis_name=ls_axis_name)
-    # alpha=0 baseline on the SAME metric: the converged QP objective of
-    # the embedded production solve (free — computed from the captured
-    # solution)
-    qp0, sol0 = ext.qp, ext.sol
-    cost0 = (0.5 * sol0.x @ qp0.H @ sol0.x + qp0.q @ sol0.x
-             + qp0.cost_const)
-    cost0 = jnp.where(stats.solved, cost0, jnp.inf)
+    win_alpha, win_obj, win_sol, cost0 = _lane_search(
+        cfg, params, st1, d, x0_man, t0, ee_pos0, x_des_tan,
+        axis_name=ls_axis_name)
+    # cost0 is the alpha=0 LANE's objective — same linearization trajectory
+    # (st1.traj), same ee_box, same cold solve depth as every other lane, so
+    # the ratio test compares apples to apples (ADVICE r3 medium: using the
+    # embedded RTI's pre-update warm-started objective as the baseline lets
+    # the RTI's own improvement inflate `actual` during transients, biasing
+    # acceptance toward schedule moves that didn't help).  The reference
+    # runs its alpha=0 candidate through the identical per-candidate
+    # pipeline too (GaitOptimizer::LineSearch, gait_optimizer.cpp:694).
 
     # ---- ratio test (predicted reduction of the linear model, Bk = 0) ----
     # the projection QP normalizes g to unit inf-norm before stepping; use

@@ -311,6 +311,17 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
         r_g = G @ x + s - h
         pri = jnp.maximum(pri, jnp.max(jnp.abs(jnp.where(g_active, r_g, 0.0))))
         dua = jnp.max(jnp.abs(H @ x + q + A.T @ y + G.T @ lam))
+        if iters == 0 and warm_s is not None:
+            # the IFT fast path has no iterations to recover with: a
+            # sentinel/never-solved or non-finite warm start must surface as
+            # inf residuals, not masquerade as a solution (its recomputed
+            # residuals here can be finite — e.g. the make_state neutral's
+            # gap is exactly 1)
+            bad = jnp.asarray(jnp.inf, x.dtype)
+            ok = warm_s[-1]
+            gap = jnp.where(ok, gap, bad)
+            pri = jnp.where(ok, pri, bad)
+            dua = jnp.where(ok, dua, bad)
         return QPSolution(x=x, y=y, lam=lam, s=s, iters=sol.iters, gap=gap,
                           pri_res=pri, dua_res=dua)
 
@@ -339,7 +350,7 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
         # (mpc/mpc.cpp:1047-1056).
         g_active = jnp.any(G != 0, axis=-1)
         m_act = jnp.maximum(jnp.sum(g_active), 1).astype(dtype)
-        wx, wy, wlam, ws, _ = warm
+        wx, wy, wlam, ws, warm_ok = warm
         x, y = wx, wy
         s = jnp.where(g_active, ws, 1.0)
         lam = jnp.where(g_active, wlam, 1e-6).astype(dtype)
@@ -349,6 +360,13 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
         pri = jnp.maximum(pri,
                           jnp.max(jnp.abs(jnp.where(g_active, r_g, 0.0))))
         dua = jnp.max(jnp.abs(H @ x + q + A.T @ y + G.T @ lam))
+        # a sentinel/never-solved or non-finite warm start is NOT a solution:
+        # report inf residuals so every caller's solve-quality gate rejects it
+        # (the fast path has no iterations to recover with)
+        bad = jnp.asarray(jnp.inf, dtype)
+        gap = jnp.where(warm_ok, gap, bad)
+        pri = jnp.where(warm_ok, pri, bad)
+        dua = jnp.where(warm_ok, dua, bad)
         return QPSolution(x=x, y=y, lam=lam, s=s,
                           iters=jnp.zeros((), jnp.int32), gap=gap,
                           pri_res=pri, dua_res=dua)

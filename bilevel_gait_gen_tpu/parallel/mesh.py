@@ -87,7 +87,8 @@ def alpha_sharded_gait_opt_update(cfg: MPCConfig, params: SRBParams,
     alpha-shard assembles + solves its disjoint slice of candidate QPs
     locally; the winner crosses shards in one small all_gather (a few
     objectives + one QPSolution per shard) over ICI.  Requires
-    cfg.ls_alphas-1 divisible by the alpha-axis size.
+    cfg.ls_alphas (total lanes, alpha=0 included) divisible by the
+    alpha-axis size.
 
     Returns a jitted fn(states, x0s, t0, ee0s, x_des) -> GaitOptResult with
     batched leaves; inputs carry a leading scenario-batch axis (sharded or

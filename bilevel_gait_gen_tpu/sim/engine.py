@@ -133,6 +133,16 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
     free-running MPC thread's update cadence and `gait_opt_every` (in MPC
     updates, 0 = off) the reference's gait_opt_freq 3-phase cycle
     (MPCController::MPCUpdate, mpc_controller.cpp:286-399).
+
+    Cost note for BATCHED rollouts: when this loop is vmapped over
+    scenarios, the `lax.cond` gait-opt/RTI branch lowers to a select that
+    executes BOTH branches every MPC tick, so the full gait_opt_update
+    (lanes + IFT gradient) is paid on every tick instead of every
+    `gait_opt_every`-th — numerically correct but ~lanes x more expensive.
+    For batched cadence benchmarking use bench.py's fused cadence (the
+    gait tick hoisted out of the per-tick cond, one update per cycle of
+    `gait_opt_every` RTIs); vmapped acceptance tests here keep the cond
+    because their tick counts are tiny.
     """
     from bilevel_gait_gen_tpu.mpc import bilevel as bilevel_mod
 

@@ -150,14 +150,17 @@ class MPCConfig:
     # the robot is currently executing toward; larger values give the
     # controller more settled phases before a retimed boundary arrives.
     gait_freeze_boundaries: int = 1
-    # alpha-grid size INCLUDING alpha=0.  The alpha=0 lane is free: it is
-    # the production RTI embedded in gait_opt_update (the reference's phase
-    # (b) "solve + derivatives", controllers/mpc_controller.cpp:518-573), so
-    # ls_alphas-1 extra solves are paid.  The reference's LS_SIZE=10
-    # (gait_optimizer.h:164) is an OpenMP-thread-count artifact; 3 paid
-    # lanes on the grid {0, 1/3, 2/3, 1} rank the step scale just as well
-    # because the trust-region radius adapts the magnitude between updates
-    # (the mistimed-schedule A/B keeps its full cost reduction at 3 lanes).
+    # alpha-grid size INCLUDING alpha=0, all run as LANES of the same cold
+    # reduced-depth pipeline (bilevel._lane_search).  The alpha=0 lane is
+    # the ratio test's baseline: solving it through the identical
+    # per-candidate pipeline (same linearization trajectory, same ee_box,
+    # same depth) keeps predicted-vs-actual consistent — the reference runs
+    # its unchanged-times candidate through LineSearch the same way
+    # (gait_optimizer.cpp:694).  The reference's LS_SIZE=10
+    # (gait_optimizer.h:164) is an OpenMP-thread-count artifact; 4 lanes on
+    # the grid {0, 1/3, 2/3, 1} rank the step scale just as well because
+    # the trust-region radius adapts the magnitude between updates (the
+    # mistimed-schedule A/B keeps its full cost reduction at this width).
     ls_alphas: int = 4
     # IPM sweeps inside the gait-opt line-search lanes (0 = ipm_iters).
     # Lanes run COLD (the carried warm start belongs to the theta_0 QP and
@@ -239,6 +242,11 @@ class MPCConfig:
         if self.double_support > 0.0:
             assert self.num_phase_slots % 2 == 0, (
                 "overlapped trot window extension assumes an even slot count")
+        # outer-loop fields: alpha=0 rides the embedded RTI, so at least one
+        # PAID lane is required for the grid to scan any magnitude at all
+        assert self.ls_alphas >= 2, "ls_alphas counts alpha=0; need >= 2"
+        assert self.gait_freeze_boundaries >= 0
+        assert self.proj_iters >= 1
         return self
 
 

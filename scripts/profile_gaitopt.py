@@ -99,7 +99,7 @@ def main():
         lambda st, dd, x, ee: bilevel._lane_search(cfg, params, st, dd, x,
                                                    t0, ee, x_des)))
     timeit(lambda: ls(states, d, x0s, feets), n=5,
-           label=f"_lane_search ({cfg.ls_alphas - 1} paid lanes)")
+           label=f"_lane_search ({cfg.ls_alphas} lanes incl. alpha=0)")
 
     # --- full gait_opt_update ----------------------------------------------
     gu = jax.jit(jax.vmap(

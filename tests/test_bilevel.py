@@ -293,11 +293,11 @@ def test_lane_depth_ranks_like_full_depth():
                                   ext.sol)
     d = bilevel.contact_time_step(CFG, st1.traj.sched, g, jnp.array(0.0))
     assert float(jnp.max(jnp.abs(d))) > 0.0, "precondition: nonzero step"
-    a_red, o_red, _ = bilevel._lane_search(CFG, PARAMS, st1, d, X0,
+    a_red, o_red, _, _ = bilevel._lane_search(CFG, PARAMS, st1, d, X0,
                                            jnp.array(0.0), feet0, x_des)
     # full depth, all-exact factorizations (0 -> ipm_iters)
     cfg_full = dataclasses.replace(CFG, ls_ipm_iters=0, ls_exact_every=1)
-    a_full, o_full, _ = bilevel._lane_search(cfg_full, PARAMS, st1, d, X0,
+    a_full, o_full, _, _ = bilevel._lane_search(cfg_full, PARAMS, st1, d, X0,
                                              jnp.array(0.0), feet0, x_des)
 
     def conv_obj(alpha):

@@ -74,8 +74,8 @@ def test_alpha_sharded_gait_opt_matches_unsharded(setup):
     axis) picks the same step as the local vmap."""
     import dataclasses
     cfg, params, st0, x0, feet0, x_des = setup
-    # 4 paid lanes so the 4-wide alpha axis gets one each
-    cfg = dataclasses.replace(cfg, ls_alphas=5)
+    # 4 lanes (alpha=0 included) so the 4-wide alpha axis gets one each
+    cfg = dataclasses.replace(cfg, ls_alphas=4)
     st, _ = solver.create_initial_run(cfg, params, st0, x0, feet0, x_des)
     B = 2
     key = jax.random.PRNGKey(1)
@@ -92,7 +92,7 @@ def test_alpha_sharded_gait_opt_matches_unsharded(setup):
     sharded = mesh_mod.alpha_sharded_gait_opt_update(cfg, params, mesh)
     res_shard = sharded(states, x0s, t0, feets, x_des)
 
-    assert (cfg.ls_alphas - 1) % 4 == 0, "test precondition"
+    assert cfg.ls_alphas % 4 == 0, "test precondition"
     np.testing.assert_allclose(np.asarray(res_plain.alpha),
                                np.asarray(res_shard.alpha), atol=1e-6)
     np.testing.assert_allclose(np.asarray(res_plain.cost),

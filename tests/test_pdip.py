@@ -142,6 +142,33 @@ def test_gradient_wrt_matrices_fd():
                 f"G[{i},{j}]: ift={gG[i, j]:.8f} fd={fd:.8f}")
 
 
+def test_iters0_fast_path_rejects_sentinel_warm():
+    """The iters=0 IFT fast path must not return a never-solved sentinel
+    warm start as a 'solution' — it reports inf residuals so any caller's
+    solve-quality gate rejects it (ADVICE r3, ops/pdip.py fast path)."""
+    rng = np.random.default_rng(3)
+    H, q, A, b, G, h = random_qp(rng)
+    n, m, p = q.shape[0], h.shape[0], b.shape[0]
+    dtype = q.dtype
+    # the make_state neutral: gap = inf marks "never solved"
+    sentinel = pdip.QPSolution(
+        x=jnp.zeros(n, dtype), y=jnp.zeros(p, dtype),
+        lam=jnp.ones(m, dtype), s=jnp.ones(m, dtype),
+        iters=jnp.zeros((), jnp.int32), gap=jnp.full((), jnp.inf, dtype),
+        pri_res=jnp.ones((), dtype), dua_res=jnp.ones((), dtype))
+    sol = pdip.solve(H, q, A, b, G, h, iters=0, warm=sentinel)
+    assert not bool(jnp.isfinite(sol.gap))
+    assert not bool(sol.converged)
+
+    # whereas a REAL warm start passes through (finite residuals; the gap is
+    # inflated only by the interiorization floor on lam/s, not by x error)
+    good = pdip.solve(H, q, A, b, G, h, iters=30, tol=1e-10)
+    sol2 = pdip.solve(H, q, A, b, G, h, iters=0, warm=good)
+    assert bool(jnp.isfinite(sol2.gap)) and float(sol2.gap) < 1e-2
+    np.testing.assert_allclose(np.asarray(sol2.x), np.asarray(good.x),
+                               atol=1e-10)
+
+
 def test_warm_problem_large_batch_shapes():
     """Batch of 64 at MPC-like sizes solves and stays finite."""
     rng = np.random.default_rng(7)
