@@ -432,7 +432,21 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
     actual = cost0 - win_obj
     tiny = jnp.asarray(100 * jnp.finfo(dtype).eps, dtype)
     ratio = actual / jnp.maximum(pred, tiny)
-    took_step = jnp.isfinite(win_obj) & (win_obj < cost0)
+    # sanity floor (second baseline): the winner's cold-lane objective must
+    # also beat the embedded RTI's CONVERGED objective at the unchanged
+    # times.  The cold alpha=0 lane keeps the Taylor ratio test consistent
+    # (ADVICE r3), but during transients its 5-sweep objective can sit far
+    # above the converged value, letting `actual` overstate the schedule
+    # step's worth and accept moves mid-transient (measured on the
+    # stretched-trot A/B: mean accepted alpha 0.62 on the first cycle, two
+    # of eight scenarios blown up by cycle 5, A/B flipped to a loss).  A
+    # step that cannot beat the converged theta_0 objective even with the
+    # lanes' optimistic bias is rejected.
+    rti_obj = (0.5 * ext.sol.x @ ext.qp.H @ ext.sol.x
+               + ext.qp.q @ ext.sol.x + ext.qp.cost_const)
+    rti_obj = jnp.where(stats.solved, rti_obj, jnp.inf)
+    took_step = (jnp.isfinite(win_obj) & (win_obj < cost0)
+                 & (win_obj < rti_obj))
     accepted = took_step & (pred > tiny) & (ratio >= cfg.tr_eta_low)
 
     # install: the winner's BOUNDS and its converged solution as the next
@@ -444,10 +458,16 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
                            st1.traj.sched.bounds)
     traj_new = dataclasses.replace(st1.traj,
                                    sched=GaitSchedule(bounds=bounds_new))
+    # Warm start for the next RTI: KEEP the embedded production solve's
+    # full-depth solution even on accepted moves.  The winner's lane
+    # solution is a cold reduced-depth iterate of the shifted-theta QP;
+    # installing it was measured to destabilize advancing rollouts (mean
+    # last-cycle cost +64k vs +29k keeping the RTI warm start on the
+    # mistimed-trot rollout A/B) while ranking/acceptance are unchanged on
+    # the stretch-grid A/B — the accepted bound move is within the trust
+    # radius, so the old-theta solution is the better-converged nearby
+    # point for the IPM to re-center from.
     warm_new = st1.qp_warm
-    if warm_new is not None:
-        warm_new = jax.tree.map(
-            lambda w, l: jnp.where(accepted, l, w), warm_new, win_sol)
     new_state = solver_mod.SolverState(traj=traj_new, ee_box=st1.ee_box,
                                        qp_warm=warm_new)
 

@@ -188,16 +188,20 @@ def roll_spline_vars(f_nodes: jax.Array, footholds: jax.Array,
     """Shift per-stance-slot decision variables in lockstep with the window.
 
     f_nodes:   [E, S, F-1, 3, 2]; footholds: [E, S+1, 2]; n_past: [E] cycles
-    dropped by :func:`advance_window`.  New tail slots are zero-filled
-    (forces) / copied from the last foothold (positions) as warm starts.
+    dropped by :func:`advance_window`.  New tail slots REPEAT the last
+    in-window slot's values (periodic warm start); footholds copy the last
+    foothold.  Zero-filling the tail forces instead plans free fall for
+    every tail node that enters the horizon: measured on a stretched trot,
+    each window-shift tick then carries a defect of ~47 (vs ~1e-3 steady)
+    and a one-RTI cost spike of +2e5 — a periodic plan transient at every
+    shift (the reference's AddPolys warm-starts new polys from the
+    existing spline for the same reason, trajectory.cpp:225-246).
     """
     S = f_nodes.shape[1]
     idx_f = jnp.arange(S)[None, :] + n_past[:, None]
-    over_f = idx_f > S - 1
     idx_fc = jnp.clip(idx_f, 0, S - 1)
     f_new = jnp.take_along_axis(f_nodes, idx_fc[:, :, None, None, None],
                                 axis=1)
-    f_new = jnp.where(over_f[:, :, None, None, None], 0.0, f_new)
 
     Sp1 = footholds.shape[1]
     idx_p = jnp.arange(Sp1)[None, :] + n_past[:, None]
@@ -224,6 +228,34 @@ def adjust_for_current_contacts(sched: GaitSchedule, measured: jax.Array,
     next_td = jax.vmap(lambda b: next_touchdown_time(b, t))(sched.bounds)
     mask = measured & ~desired & ((next_td - t) < window)
     return set_ee_in_contact(sched, mask, t)
+
+
+def hold_for_flight(sched: GaitSchedule, measured: jax.Array,
+                    dt_slip: jax.Array | float) -> GaitSchedule:
+    """Flight-phase schedule hold: while NO foot measures contact, the gait
+    clock pauses — every boundary shifts later by the airborne time.
+
+    The braking transient at the capture limit launches a brief flight
+    phase (diagnosed r3, PARITY.md): the schedule keeps advancing while the
+    robot is airborne, so the landing arrives mid-slot, desynced from the
+    plan, and single-foot support builds roll/pitch.  Holding ALL bounds by
+    the measured flight duration keeps the planned touchdown pattern
+    aligned with the instant the robot can actually land; the existing
+    early-touchdown snap (:func:`adjust_for_current_contacts`, the
+    reference's one-sided fixup, mpc/mpc.cpp:1195-1203) then syncs the
+    exact landing instant.  Gating on FULL flight (no foot in contact) is
+    what distinguishes this from the blanket late-landing delay measured
+    destabilizing in r3: with any support present, delaying planned support
+    is positive feedback on a fall; with zero support there is no support
+    to delay — only the landing time to re-phase.
+
+    Shifting the whole bounds array preserves every phase duration and the
+    inter-leg pattern (it is a time translation of the schedule), so the
+    bilevel decision variables stay consistent.
+    """
+    airborne = ~jnp.any(measured)
+    shift = jnp.where(airborne, dt_slip, 0.0).astype(sched.bounds.dtype)
+    return GaitSchedule(bounds=sched.bounds + shift)
 
 
 def set_ee_in_contact(sched: GaitSchedule, ee_mask: jax.Array,

@@ -103,6 +103,36 @@ def _defect_l1(cfg: MPCConfig, params: SRBParams, xs_tan: jax.Array,
     return jnp.sum(jnp.abs(d))
 
 
+def _roll_warm(cfg: MPCConfig, warm: "pdip.QPSolution",
+               n_past: jax.Array) -> "pdip.QPSolution":
+    """Shift the carried IPM warm start's PRIMAL in lockstep with the
+    window roll.
+
+    The warm start's primal is the flat u vector (force slots, footholds).
+    When advance_window/roll_spline_vars drop a cycle, a warm start left in
+    the OLD slot alignment points every force/foothold entry at the wrong
+    stance: measured on a stretched trot, each window-shift tick then
+    starts the IPM from a misaligned point whose 10-sweep step passes the
+    quality gate but leaves a defect of ~47 (vs ~1e-3 on non-shift ticks)
+    — a periodic plan transient at exactly the schedule-dependent shift
+    instants (a mechanism behind phase-sensitive closed-loop behavior).
+    Rolling the primal removes the transient (worst post-shift cost +5e3
+    vs +2e5 unrolled on the same rollout).
+
+    The duals/slacks are deliberately NOT rolled: they were measured to be
+    harmless left stale (the IPM re-centers them within a sweep) while a
+    slot-rolled (lam, s) with neutral tail fills DESTABILIZED the rollout —
+    monotone cost divergence to +5e5 within 20 ticks; partially-neutral
+    dual blocks are exactly the "arbitrary (x, 1, 1) interior point" the
+    Mehrotra initializer exists to avoid (see ops/pdip.py warm-start
+    notes).
+    """
+    unravel = make_unravel(cfg)
+    fn, fh = unravel(warm.x)
+    fn2, fh2 = gait_mod.roll_spline_vars(fn, fh, n_past)
+    return warm._replace(x=ravel_u(fn2, fh2))
+
+
 @highest_matmul_precision
 def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
                x0_man: jax.Array, t0: jax.Array, ee_pos0: jax.Array,
@@ -125,6 +155,10 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
             traj.f_nodes, traj.footholds, n_past)
         traj = Trajectory(x_man=traj.x_man, f_nodes=f_nodes,
                           footholds=footholds, sched=sched)
+        if state.qp_warm is not None:
+            # keep the carried warm start slot-aligned with the roll
+            state = dataclasses.replace(
+                state, qp_warm=_roll_warm(cfg, state.qp_warm, n_past))
 
     # ------- assemble + solve ---------------------------------------------
     qp = qp_mod.assemble(cfg, params, traj, x0_man, t0, ee_pos0,
@@ -218,7 +252,30 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
                        jnp.maximum(nominal, state.ee_box - 0.05),
                        state.ee_box + 0.05)
 
-    new_warm = sol if state.qp_warm is not None else None
+    # Warm-start carry policy.  Three cases:
+    #  * step taken (alpha > 0): carry the solution — the normal RTI warm
+    #    start (reference prev_qp_sol, mpc.h:267-291).
+    #  * solve FAILED the quality gate (~good): carry it anyway.  The
+    #    trajectory is unchanged, so the next solve faces the IDENTICAL
+    #    QP and the carried iterate accumulates IPM progress across calls
+    #    (two chained 10-sweep solves ~ one 20-sweep solve) — required on
+    #    hard cold starts (measured: a perturbed stretched-trot init QP
+    #    needs ~2 chained solves before pri_res passes the gate).
+    #  * solve PASSED the gate but Armijo rejected every candidate
+    #    (good & alpha = 0): RESET to the cold sentinel.  Carrying here
+    #    recreates the identical rejection — a warm-start fixed point:
+    #    measured, the loop deadlocks at cost +7333 / defect 3.2 for 50
+    #    straight solves, while a cold Mehrotra restart of the SAME QP
+    #    takes a full alpha = 1 step to cost -1441 and converges (the
+    #    re-scaled warm interior point is the attractor, not the QP's
+    #    optimum).  The reference cannot hit this: Clarabel has no
+    #    cross-solve warm start — every reference solve is cold
+    #    (clarabel_interface.cpp SetupQP/Solve).
+    new_warm = None
+    if state.qp_warm is not None:
+        reset = good & (alpha == 0.0)
+        new_warm = sol._replace(
+            gap=jnp.where(reset, jnp.asarray(jnp.inf, dtype), sol.gap))
 
     sel = jnp.argmin(jnp.abs(alphas - alpha))
     at0 = alpha == 0.0
@@ -242,11 +299,24 @@ def create_initial_run(cfg: MPCConfig, params: SRBParams, state: SolverState,
                        t0: jax.Array | float = 0.0
                        ) -> tuple[SolverState, SolveStats]:
     """Full SQP to convergence before going real-time
-    (MPC::CreateInitialRun, mpc/mpc.cpp:78-90: <=10 iterations)."""
+    (MPC::CreateInitialRun, mpc/mpc.cpp:78-90: <=10 iterations).
+
+    Every sweep factorizes exactly (ipm_exact_every=1): the init run solves
+    COLD-ish QPs where the IPM scaling matrix W swings violently between
+    early iterations, and Newton-Schulz inverse tracking from a stale
+    inverse diverges there — measured on a perturbed stretched-trot
+    scenario, the cadence-tracked init run's first QP fails its quality
+    gate outright (pri 5.8e2) while all-exact takes a clean alpha=1 step.
+    (solve_step's own static warm/cold exact_every switch cannot catch
+    this: the scan carry holds the not-yet-solved SENTINEL, which is
+    structurally a warm start.)  The reference's equivalent is running
+    Clarabel cold at 1e-15 gap for init (ConfigureForInitialRun,
+    clarabel_interface.cpp:165-175)."""
     t0 = jnp.asarray(t0, x0_man.dtype)
+    cfg_init = dataclasses.replace(cfg, ipm_exact_every=1)
 
     def body(st, _):
-        st, stats = solve_step(cfg, params, st, x0_man, t0, ee_pos0,
+        st, stats = solve_step(cfg_init, params, st, x0_man, t0, ee_pos0,
                                x_des_tan, shift_window=False)
         return st, stats
 

@@ -1,9 +1,22 @@
 """Reusable closed-loop MuJoCo harness: MPC RTIs + whole-body QP torques.
 
-One function, `run_push_recovery`, packages the full control stack around
-:class:`~bilevel_gait_gen_tpu.sim.mujoco_bridge.MujocoLoop` so scripts and
-tests share one code path (the reference's equivalent loop lives in
-apps/mpc_sim_demo.cpp:25-106 + simulation/mujoco_sim/simulator.cpp:95-190).
+One function, :func:`run_closed_loop`, packages the full control stack
+around :class:`~bilevel_gait_gen_tpu.sim.mujoco_bridge.MujocoLoop` so
+scripts and tests share one code path (the reference's equivalent loop
+lives in apps/mpc_sim_demo.cpp:25-106 + simulation/mujoco_sim/simulator
+.cpp:95-190).  It covers the reference demos' whole feature envelope:
+
+* one MPC real-time iteration per ``cfg.dt`` with early-touchdown schedule
+  sync (MPC::AdjustForCurrentContacts, mpc/mpc.cpp:1195-1203);
+* optional bilevel gait-optimization ticks every ``gait_opt_freq`` RTIs
+  (MPCController::MPCUpdate's 3-phase cadence, controllers/
+  mpc_controller.cpp:286-399), trust radius carried across ticks;
+* walk-to-position goal carrots (the reference's walk-to-position weight
+  set, apps/a1_configuration.yaml comments 180-204) with an arrival state
+  machine that switches to a standing MPC (the reference's Stand state,
+  hardware/include/hardware_robot.h:46-51);
+* mid-run velocity pushes (apps/a1_config_distr_rejection.yaml scenario);
+* live viewer + real-time pacing passthrough (test/simulation_mpc.cpp).
 
 Reference push-recovery scenario semantics (apps/a1_config_distr_rejection
 .yaml): the MuJoCo robot starts with `init_vel` = 0.375 m/s forward base
@@ -38,6 +51,13 @@ class ClosedLoopResult(NamedTuple):
     n_mpc: int
     n_fails: int
     n_gait_accepts: int
+    costs: np.ndarray = np.zeros(0)        # per-MPC-tick planning cost
+    final_bounds: np.ndarray = np.zeros(0)  # final schedule bounds [E, P+1]
+    arrived_t: float = -1.0   # goal-arrival time (standing switch), -1 never
+    mpc_ms: float = 0.0       # mean wall ms per MPC tick
+    ctrl_ms: float = 0.0      # mean wall ms per control tick
+    flight_s: float = 0.0     # total airborne (no-contact) time [s]
+    final_state: "solver.SolverState | None" = None  # last MPC state (plan)
 
     @property
     def z(self) -> np.ndarray:
@@ -48,6 +68,29 @@ class ClosedLoopResult(NamedTuple):
         """Upright throughout AND the push arrested by the end."""
         v_end = float(np.abs(self.vs[-500:, 0:2]).mean(axis=0).max())
         return bool(self.z.min() > z_min and v_end < v_end_max)
+
+
+@dataclasses.dataclass(frozen=True)
+class GoalCarrot:
+    """Walk-to-position carrot (reference a1_configuration.yaml:180-204).
+
+    The commanded target is at most ``radius`` of the remaining goal per
+    plan, tapered near arrival so the stop is gentle instead of a
+    push-recovery event.  ``vel_carrot`` adds a momentum command for robots
+    that walk by foot placement (the Raibert-row biped: a pure position
+    carrot leaves capture stepping regulating v -> 0 against the MPC's
+    forces and the walk never terminates).
+    """
+    goal: tuple[float, float]          # (x, y) offset from the start pos
+    radius: float = 0.25               # max commanded position step [m]
+    lat_cap: float = 0.08              # lateral position-step cap [m]
+    vel_carrot: bool = False
+    v_walk: float = 0.10               # walking-speed command [m/s]
+    v_lat_cap: float = 0.05
+    v_deadband: float = 0.10           # march-in-place inside this range
+    stand_on_arrival: bool = True
+    arrive_err: float = 0.07
+    arrive_speed: float = 0.06
 
 
 def settled_start(model: RobotModel, q_stand: np.ndarray,
@@ -67,6 +110,12 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
                     sched: gait.GaitSchedule | None = None,
                     x_des_man: jax.Array | None = None,
                     gait_opt_freq: int = 0,
+                    carrot: GoalCarrot | None = None,
+                    stand_cfg: MPCConfig | None = None,
+                    push: tuple[float, float] | None = None,
+                    viewer: bool = False, realtime: bool = False,
+                    debug: bool = False, flight_resync: bool = True,
+                    recede_target: float = 0.0,
                     dtype=jnp.float32) -> ClosedLoopResult:
     """Run `seconds` of host-MuJoCo physics under the device controller.
 
@@ -74,6 +123,13 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
     controllers/mpc_controller.cpp:286-399) with early-touchdown schedule
     sync; optional bilevel gait-opt updates every `gait_opt_freq` RTIs
     (reference gait_opt_freq, e.g. a1_config_distr_rejection.yaml).
+
+    ``carrot``: walk to ``q0 + carrot.goal`` with a tapered receding
+    target; on arrival (err/speed gates + all feet planted, sampled at
+    control rate — all-support instants are brief in a trot) switch to a
+    standing MPC built from ``stand_cfg`` (default: cfg + force carrier).
+    ``push``: ``(t_push, dvx)`` adds a forward base-velocity impulse at
+    ``t_push`` seconds (reference distr-rejection demo shape).
     """
     q0j = jnp.asarray(q0, dtype)
     v0j = jnp.asarray(v0, dtype)
@@ -90,68 +146,233 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
         x_des_man = x0.at[3:6].set(0.0).at[10:13].set(0.0)
     x_des = srb.manifold_to_tangent(x_des_man)
 
-    init_run = jax.jit(lambda st, x, ee: solver.create_initial_run(
-        cfg, params, st, x, ee, x_des))
-    state, stats = init_run(state, x0, feet0)
+    init_run = jax.jit(lambda st, x, ee, xd: solver.create_initial_run(
+        cfg, params, st, x, ee, xd))
+    state, stats = init_run(state, x0, feet0, x_des)
     jax.block_until_ready(stats.cost)
 
-    mpc_step = jax.jit(lambda st, x, t, ee: solver.solve_step(
-        cfg, params, st, x, t, ee, x_des))
-    gopt = jax.jit(lambda st, x, t, ee, tr: bilevel.gait_opt_update(
-        cfg, params, st, x, t, ee, x_des, trust=tr))
+    mpc_step = jax.jit(lambda st, x, t, ee, xd: solver.solve_step(
+        cfg, params, st, x, t, ee, xd))
+    gopt = jax.jit(lambda st, x, t, ee, xd, tr: bilevel.gait_opt_update(
+        cfg, params, st, x, t, ee, xd, trust=tr))
     ctrl = jax.jit(lambda tr, q, v, t, t0, mc: mpc_controller.control_action(
         model, params, cfg, wb_cfg, tr, q, v, t, t0, mc))
 
+    # --- goal carrot + arrival standing MPC (built lazily on first use) ----
+    tgt_xy = None
+    if carrot is not None:
+        tgt_xy = np.asarray([float(x0[0]) + carrot.goal[0],
+                             float(x0[1]) + carrot.goal[1]])
+        if stand_cfg is None:
+            stand_cfg = dataclasses.replace(
+                cfg, force_carrier=True, carrier_ramp=0.1).validate()
+        init_stand = jax.jit(
+            lambda st, x, ee, xd: solver.create_initial_run(
+                stand_cfg, params, st, x, ee, xd))
+        mpc_step_stand = jax.jit(
+            lambda st, x, t, ee, xd: solver.solve_step(
+                stand_cfg, params, st, x, t, ee, xd))
+        ctrl_stand = jax.jit(
+            lambda tr, q, v, t, t0, mc: mpc_controller.control_action(
+                model, params, stand_cfg, wb_cfg, tr, q, v, t, t0, mc))
+
+    def clamp_goal(x_srb):
+        """Tapered receding carrot toward the goal (see GoalCarrot)."""
+        if carrot is None:
+            if recede_target > 0.0:
+                # stopping-point target for push recovery: command the spot
+                # the COM will reach after T more seconds of current drift,
+                # x + T v.  With the position weight dominating (q_diag xy
+                # 340 vs momentum 0.1) the position row then acts as pure
+                # DAMPING (error ∝ -T v): it arrests the push wherever
+                # physics allows instead of demanding a backward walk to
+                # the original x — measured at 0.45 m/s, the fixed-origin
+                # target pulled the half-crouched robot backward through
+                # the start at -0.5 m/s (PARITY.md r4).
+                v_xy = x_srb[3:5] / float(params.mass)
+                step = recede_target * v_xy
+                # cap the commanded position error: the braking force scales
+                # with it (q_p * err), and an uncapped T*v at higher push
+                # speeds saturates the friction cone / launches the hop
+                nrm = jnp.linalg.norm(step)
+                step = step * (jnp.minimum(nrm, 0.15) / (nrm + 1e-9))
+                x_t = x0.at[3:6].set(0.0).at[10:13].set(0.0)
+                x_t = x_t.at[0:2].set(x_srb[0:2] + step)
+                return srb.manifold_to_tangent(x_t)
+            return x_des
+        c = carrot
+        tgt = jnp.asarray(tgt_xy, dtype)
+        d = tgt - x_srb[0:2]
+        n = jnp.linalg.norm(d)
+        # taper near the goal: approach speed shrinks with remaining
+        # distance so the arrival is a gentle stop, not a push-recovery
+        # event (the collapse mode is braking from walk speed)
+        r_eff = jnp.minimum(c.radius, 0.6 * n)
+        step_xy = jnp.where(n > r_eff, d * (r_eff / (n + 1e-9)), d)
+        # lateral cap: trot lateral stepping is structurally narrower than
+        # fore-aft; uncapped diagonal carrots overshoot in y
+        step_xy = step_xy.at[1].set(jnp.clip(step_xy[1], -c.lat_cap,
+                                             c.lat_cap))
+        x_t = x0.at[3:6].set(0.0).at[10:13].set(0.0)
+        x_t = x_t.at[0:2].set(x_srb[0:2] + step_xy)
+        if c.vel_carrot:
+            # momentum carrot for foot-placement walkers (Raibert rows
+            # track target momentum); deadband near the goal: no backward
+            # stepping, so inside it the command is march-in-place
+            v_des = d * (jnp.minimum(c.v_walk, 0.5 * n) / (n + 1e-9))
+            v_des = v_des * (n > c.v_deadband)
+            v_des = v_des.at[1].set(jnp.clip(v_des[1], -c.v_lat_cap,
+                                             c.v_lat_cap))
+            x_t = x_t.at[3:5].set(float(params.mass) * v_des)
+        return srb.manifold_to_tangent(x_t)
+
     loop = MujocoLoop(model, timestep=0.001)
     loop.set_state(np.asarray(q0, np.float64), np.asarray(v0, np.float64))
+    import time as _time
     holder = {"state": state, "t0": 0.0, "n": 0, "fails": 0, "accepts": 0,
-              "trust": jnp.asarray(cfg.trust_region, dtype)}
+              "trust": jnp.asarray(cfg.trust_region, dtype),
+              "standing": False, "arrived_t": -1.0, "costs": [],
+              "mpc_ms": 0.0, "ctrl_ms": 0.0, "n_ctrl": 0,
+              "slip": 0.0, "flight_s": 0.0}
 
     def control_fn(q, v, t):
         qj = jnp.asarray(q, dtype)
         vj = jnp.asarray(v, dtype)
         if t >= holder["t0"] + cfg.dt or t == 0.0:
+            tm = _time.perf_counter()
             x_srb = srb.reconstruct_state(params, qj, vj)
             feet = rbd.ee_positions(model, qj)
             mc_now = jnp.asarray(loop.contacts())
             st_in = holder["state"]
+            if holder["slip"] > 0.0:
+                # flight-phase schedule hold (gait.hold_for_flight): apply
+                # the airborne time accrued at control rate since the last
+                # MPC tick — the gait clock pauses while no foot can land
+                st_in = dataclasses.replace(
+                    st_in, traj=dataclasses.replace(
+                        st_in.traj, sched=gait.GaitSchedule(
+                            bounds=st_in.traj.sched.bounds
+                            + dtype(holder["slip"]))))
+                holder["slip"] = 0.0
             sched2 = gait.adjust_for_current_contacts(
-                st_in.traj.sched, mc_now, jnp.asarray(t, dtype))
+                st_in.traj.sched, mc_now, jnp.asarray(t, dtype),
+                window=cfg.contact_snap_window)
             st_in = dataclasses.replace(
                 st_in, traj=dataclasses.replace(st_in.traj, sched=sched2))
-            if gait_opt_freq and holder["n"] % gait_opt_freq \
+            xd = clamp_goal(x_srb)
+            if holder["standing"]:
+                st, stats = mpc_step_stand(st_in, x_srb,
+                                           jnp.asarray(t, dtype), feet, xd)
+            elif gait_opt_freq and holder["n"] % gait_opt_freq \
                     == gait_opt_freq - 1:
                 # gait_opt_update embeds the production RTI, replacing
                 # solve_step on gait ticks (reference phase (b))
-                res = gopt(st_in, x_srb, jnp.asarray(t, dtype), feet,
+                res = gopt(st_in, x_srb, jnp.asarray(t, dtype), feet, xd,
                            holder["trust"])
                 st, stats = res.state, res.rti_stats
                 holder["trust"] = res.trust
                 holder["accepts"] += int(bool(res.accepted))
             else:
                 st, stats = mpc_step(st_in, x_srb, jnp.asarray(t, dtype),
-                                     feet)
+                                     feet, xd)
             jax.block_until_ready(st.traj.x_man)
             holder["state"] = st
             holder["t0"] = t
             holder["n"] += 1
+            holder["mpc_ms"] += (_time.perf_counter() - tm) * 1e3
+            holder["costs"].append(float(stats.cost))
             if not bool(stats.solved):
                 holder["fails"] += 1
+            if debug:
+                b = np.asarray(st.traj.sched.bounds)
+                lens = (b[:, 1:] - b[:, :-1])[
+                    (b[:, 1:] > t) & (b[:, :-1] < t + cfg.horizon)]
+                mcs = "".join("#" if c else "." for c in np.asarray(mc_now))
+                print(f"  t={t:.2f} cost={float(stats.cost):+.0f} "
+                      f"defect={float(stats.defect_l1):.2e} "
+                      f"alpha={float(stats.alpha):.2f} "
+                      f"x={q[0]:+.3f} z={q[2]:.3f} vx={v[0]:+.3f} "
+                      f"mc={mcs} fl={holder['flight_s']:.3f} "
+                      f"ph=[{lens.min():.3f},{lens.max():.3f}]")
+        tm = _time.perf_counter()
         mc = jnp.asarray(loop.contacts())
-        tau = ctrl(holder["state"].traj, qj, vj, jnp.asarray(t, dtype),
-                   jnp.asarray(holder["t0"], dtype), mc)
+        if (flight_resync and not holder["standing"]
+                and not bool(np.any(np.asarray(mc)))):
+            # accrue airborne time at control rate (flight phases last tens
+            # of ms — MPC-tick sampling would quantize them to 0 or cfg.dt);
+            # applied as a schedule hold at the next MPC tick
+            holder["slip"] += 0.001
+            holder["flight_s"] += 0.001
+        # arrival state machine at CONTROL rate: once the goal is reached
+        # at low speed with all feet planted, switch to a standing MPC
+        # (carrier-standing schedule regulates position; joint PD alone has
+        # no position feedback and residual momentum rolls before decaying).
+        # All-support instants are brief in a trot, so the gate samples at
+        # 1 kHz, not at MPC ticks.
+        if (carrot is not None and carrot.stand_on_arrival
+                and not holder["standing"]):
+            err = float(np.hypot(q[0] - tgt_xy[0], q[1] - tgt_xy[1]))
+            spd = float(np.linalg.norm(np.asarray(v[0:2])))
+            if (err < carrot.arrive_err and spd < carrot.arrive_speed
+                    and bool(np.all(np.asarray(mc)))):
+                x_srb_a = srb.reconstruct_state(params, qj, vj)
+                feet_a = rbd.ee_positions(model, qj)
+                sched_s = gait.make_standing(stand_cfg, t0=float(t))
+                traj_s = default_trajectory(stand_cfg, sched_s, x_srb_a,
+                                            feet_a[:, :2])
+                st_s = solver.SolverState(
+                    traj=traj_s,
+                    ee_box=jnp.asarray(stand_cfg.ee_box_size, dtype))
+                st_s, _ = init_stand(st_s, x_srb_a, feet_a,
+                                     clamp_goal(x_srb_a))
+                holder["state"] = st_s
+                holder["t0"] = t
+                holder["standing"] = True
+                holder["arrived_t"] = t
+                if debug:
+                    print(f"  arrived (err {err:.3f} m) -> MPC stand "
+                          f"at t={t:.2f}")
+        ctrl_fn = ctrl_stand if holder["standing"] else ctrl
+        tau = ctrl_fn(holder["state"].traj, qj, vj, jnp.asarray(t, dtype),
+                      jnp.asarray(holder["t0"], dtype), mc)
+        holder["ctrl_ms"] += (_time.perf_counter() - tm) * 1e3
+        holder["n_ctrl"] += 1
         return np.asarray(tau)
 
-    qs, vs, taus = loop.run(control_fn, int(seconds * 1000),
-                            control_decimation=1)
-    return ClosedLoopResult(qs=qs, vs=vs, taus=taus, n_mpc=holder["n"],
-                            n_fails=holder["fails"],
-                            n_gait_accepts=holder["accepts"])
+    n_steps = int(seconds * 1000)
+    if push is not None and 0 < push[0] < seconds:
+        n1 = int(push[0] * 1000)
+        qs1, vs1, taus1 = loop.run(control_fn, n1, control_decimation=1,
+                                   viewer=viewer, realtime=realtime)
+        loop.mj_data.qvel[0] += push[1]
+        qs2, vs2, taus2 = loop.run(
+            lambda q, v, t: control_fn(q, v, t + push[0]),
+            n_steps - n1, control_decimation=1, viewer=viewer,
+            realtime=realtime)
+        qs = np.concatenate([qs1, qs2])
+        vs = np.concatenate([vs1, vs2])
+        taus = np.concatenate([taus1, taus2])
+    else:
+        qs, vs, taus = loop.run(control_fn, n_steps, control_decimation=1,
+                                viewer=viewer, realtime=realtime)
+    return ClosedLoopResult(
+        qs=qs, vs=vs, taus=taus, n_mpc=holder["n"],
+        n_fails=holder["fails"], n_gait_accepts=holder["accepts"],
+        costs=np.asarray(holder["costs"]),
+        final_bounds=np.asarray(holder["state"].traj.sched.bounds),
+        arrived_t=holder["arrived_t"],
+        mpc_ms=holder["mpc_ms"] / max(holder["n"], 1),
+        ctrl_ms=holder["ctrl_ms"] / max(holder["n_ctrl"], 1),
+        flight_s=holder["flight_s"],
+        final_state=holder["state"])
 
 
 def run_push_recovery(init_vx: float = 0.375, seconds: float = 2.5,
                       cfg: MPCConfig | None = None,
-                      gait_opt_freq: int = 0,
+                      gait_opt_freq: int = 0, debug: bool = False,
+                      flight_resync: bool = True,
+                      recede_target: float = 0.4,
+                      snap_window: float = 0.25,
                       dtype=jnp.float32) -> ClosedLoopResult:
     """The reference's push-recovery scenario, closed loop on A1.
 
@@ -168,10 +389,13 @@ def run_push_recovery(init_vx: float = 0.375, seconds: float = 2.5,
         cfg = MPCConfig(ipm_iters=18, double_support=0.1,
                         force_carrier=True, carrier_ramp=0.1,
                         raibert=True,
-                        raibert_vel_gain=(1.8, 1.2)).validate()
+                        raibert_vel_gain=(1.8, 1.2),
+                        contact_snap_window=snap_window).validate()
     model = a1.make_a1()
     q0 = settled_start(model, np.asarray(a1.stand_config(), np.float64))
     v0 = np.zeros(model.nv)
     v0[0] = init_vx
     return run_closed_loop(model, cfg, wbqp.WBQPConfig(), q0, v0, seconds,
-                           gait_opt_freq=gait_opt_freq, dtype=dtype)
+                           gait_opt_freq=gait_opt_freq, debug=debug,
+                           flight_resync=flight_resync,
+                           recede_target=recede_target, dtype=dtype)

@@ -171,7 +171,8 @@ def closed_loop(model: RobotModel, params: srb.SRBParams, cfg: MPCConfig,
                 # step, fed by the LATCHED contact state so a mid-dip bounce
                 # cannot snap the bounds and degenerate the QP
                 sched2 = gait_mod.adjust_for_current_contacts(
-                    st_.traj.sched, mc, t)
+                    st_.traj.sched, mc, t,
+                    window=cfg.contact_snap_window)
                 st_ = dataclasses.replace(
                     st_, traj=dataclasses.replace(st_.traj, sched=sched2))
             if gait_opt_every > 0:

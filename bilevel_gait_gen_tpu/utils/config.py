@@ -129,6 +129,16 @@ class MPCConfig:
     # (docs/DESIGN.md "Penalty-engine closed-loop stability").  >0 keeps at
     # least one pair mid-stance at every boundary instant.
     double_support: float = 0.0
+    # Early-touchdown snap window [s] (MPC::AdjustForCurrentContacts,
+    # mpc/mpc.cpp:1195-1203: 70 ms): a foot measuring contact while still
+    # scheduled for swing gets its touchdown snapped to now if the planned
+    # touchdown is within this window.  Push-recovery configs widen it
+    # (0.2-0.3 s): braking transients launch flight phases whose landings
+    # desync far beyond 70 ms — an unsnapped landed foot is scheduled
+    # swing, gets zero force target AND no stationary-contact rows (both
+    # gate on scheduled AND measured), so nothing supports the body and it
+    # sinks (measured collapse mechanism at 0.45 m/s, PARITY.md r4).
+    contact_snap_window: float = 0.07
     # Static-support force carrier (ops/spline.py::carrier_weights): plan
     # forces = carrier(t, bounds) + spline(u).  The carrier distributes m*g
     # over the stance feet with `carrier_ramp`-long weight-transfer ramps,
@@ -171,11 +181,13 @@ class MPCConfig:
     # test_lane_depth_ranks_like_full_depth).  (Perf: the lane search is
     # the bulk of the gait-opt update's cost.)
     ls_ipm_iters: int = 5
-    # Newton-Schulz cadence inside the lanes (pdip always factorizes the
-    # first two iterations exactly; NS-tracked iterations after that cost
-    # GEMMs instead of factorization latency and keep the ranking —
-    # measured identical alpha pick at depths 3-5).  1 = all exact.
-    ls_exact_every: int = 5
+    # Newton-Schulz cadence inside the lanes.  1 = all exact (default).
+    # NS-tracked COLD lane solves were measured to misestimate the lane
+    # objective by >1e3 on transient states (the alpha=0 lane read +219
+    # against a -1500 converged value on the stretched-trot A/B), feeding
+    # the ratio test garbage; NS tracking is only safe from a warm start
+    # (see ipm_exact_every) and lanes are deliberately cold.
+    ls_exact_every: int = 1
     # extra IPM polish sweeps on the captured RTI solution before the IFT
     # gradient is taken (0 = gradient exactly at the RTI solution, zero
     # forward factorizations — the iters=0 fast path in pdip).  The

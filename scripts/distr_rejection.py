@@ -45,21 +45,38 @@ from bilevel_gait_gen_tpu.utils.config import MPCConfig
 def closed_loop_main() -> int:
     from bilevel_gait_gen_tpu.sim.closed_loop import run_push_recovery
     vx = 0.375
+    sweep = None
     for a in sys.argv[1:]:
         if a.startswith("--vx="):
             vx = float(a.split("=", 1)[1])
-    print(f"closed-loop push recovery: init_vx={vx} m/s "
-          f"(reference init_vel, a1_config_distr_rejection.yaml:37)")
-    t0 = time.time()
-    res = run_push_recovery(init_vx=vx, seconds=2.5)
-    ok = res.recovered()
-    v_end = float(np.abs(res.vs[-500:, 0]).mean())
-    print(f"wall {time.time()-t0:.0f}s  MPC solves {res.n_mpc} "
-          f"(fails {res.n_fails})")
-    print(f"z: min {res.z.min():.3f} end {res.z[-1]:.3f}  "
-          f"x_end {res.qs[-1,0]:+.3f}  |vx|_end {v_end:.2f}")
-    print("RECOVERED" if ok else "FELL")
-    return 0 if ok else 1
+        elif a.startswith("--sweep"):
+            # --sweep[=lo:hi:step] — the full envelope in ONE process (one
+            # jit compile); exits 0 iff EVERY speed recovers.  Default is
+            # the r4 acceptance bar: every 0.05-step from 0.3 to 0.6 m/s
+            # (VERDICT r3 item 1; the reference demos a single 0.375).
+            parts = a.split("=", 1)[1].split(":") if "=" in a else []
+            lo, hi, st = ([float(p) for p in parts] if len(parts) == 3
+                          else (0.30, 0.60, 0.05))
+            sweep = np.arange(lo, hi + st / 2, st)
+    speeds = sweep if sweep is not None else [vx]
+    all_ok = True
+    for v in speeds:
+        print(f"closed-loop push recovery: init_vx={v:.3f} m/s "
+              f"(reference init_vel, a1_config_distr_rejection.yaml:37)")
+        t0 = time.time()
+        res = run_push_recovery(init_vx=float(v), seconds=2.5)
+        ok = res.recovered()
+        all_ok &= ok
+        v_end = float(np.abs(res.vs[-500:, 0]).mean())
+        print(f"wall {time.time()-t0:.0f}s  MPC solves {res.n_mpc} "
+              f"(fails {res.n_fails})  flight {res.flight_s:.3f}s")
+        print(f"z: min {res.z.min():.3f} end {res.z[-1]:.3f}  "
+              f"x_end {res.qs[-1,0]:+.3f}  |vx|_end {v_end:.2f}")
+        print("RECOVERED" if ok else "FELL", flush=True)
+    if sweep is not None:
+        print(("SWEEP RECOVERED" if all_ok else "SWEEP FELL")
+              + f" ({len(speeds)} speeds {speeds[0]:.2f}..{speeds[-1]:.2f})")
+    return 0 if all_ok else 1
 
 
 def main():

@@ -2,10 +2,14 @@
 
 Equivalent of the reference's mpc_sim demo (apps/mpc_sim_demo.cpp): MPC
 real-time iterations at the MPC rate + whole-body QP torques at the control
-rate, MuJoCo physics on the host.
+rate, MuJoCo physics on the host.  The loop itself is the shared harness
+`sim/closed_loop.run_closed_loop` — this script only builds per-robot
+configs and evaluates the outcome.
 
 Usage: python scripts/run_mujoco_walk.py [seconds] [--cpu] [--viewer]
        [--realtime] [--robot=adam|mini_cheetah] [--goal=X,Y] [--push[=v]]
+       [--initpush[=v]] [--gait-opt[=freq]] [--stretch=S] [--raibert]
+       [--gait=standing] [--config=push]
 """
 import dataclasses
 import os
@@ -22,11 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bilevel_gait_gen_tpu.control import mpc_controller, wbqp
-from bilevel_gait_gen_tpu.models import a1, rbd, srb
-from bilevel_gait_gen_tpu.mpc import gait, solver
-from bilevel_gait_gen_tpu.mpc.trajectory import default_trajectory
-from bilevel_gait_gen_tpu.sim.mujoco_bridge import MujocoLoop
+from bilevel_gait_gen_tpu.control import wbqp
+from bilevel_gait_gen_tpu.models import a1, rbd
+from bilevel_gait_gen_tpu.mpc import gait
+from bilevel_gait_gen_tpu.sim.closed_loop import (GoalCarrot, run_closed_loop,
+                                                  settled_start)
 from bilevel_gait_gen_tpu.utils.config import MPCConfig
 
 
@@ -53,6 +57,7 @@ def main():
         cfg = dataclasses.replace(cfg, raibert=True,
                                   raibert_vel_gain=vgt).validate()
     wb_cfg = wbqp.WBQPConfig()
+    carrot_kw = dict(radius=0.25)
 
     if "--robot=mini_cheetah" in sys.argv:
         from bilevel_gait_gen_tpu.models import mini_cheetah as robot_mod
@@ -112,6 +117,10 @@ def main():
         wb_cfg = wbqp.WBQPConfig(torque_bound=33.5, kp_joint=400.0,
                                  kd_joint=30.0, friction_coef=0.3,
                                  force_weight=5.0)
+        # the biped walks by FOOT PLACEMENT (Raibert rows track target
+        # momentum): short carrot (inverted-pendulum tau ~0.27 s brakes far
+        # slower than diagonal support) + tapered velocity command
+        carrot_kw = dict(radius=0.12, vel_carrot=True, v_walk=0.10)
     else:
         model = a1.make_a1()
         q0_np = np.asarray(a1.stand_config(), np.float64)
@@ -127,242 +136,65 @@ def main():
             qj = ik_mod.solve_ik(model, qj[0:3], qj[3:7],
                                  feet.at[:, 0].set(com[0]), qj, iters=20)
         q0_np = np.asarray(qj, np.float64)
-    # settle ALL feet into ground contact: the highest foot center ends at
-    # foot_radius - 1.5 mm (a hovering rear pair destroys standing)
-    foot_radius = 0.02
-    feet_z0 = np.asarray(rbd.ee_positions(
-        model, jnp.asarray(q0_np, dtype)))[:, 2]
-    q0_np[2] -= float(feet_z0.max()) - foot_radius + 0.0015
-    q0 = jnp.asarray(q0_np, dtype)
-    params = srb.make_srb_params(model, q0)
+    # settle ALL feet into ground contact (a hovering pair destroys standing)
+    q0_np = settled_start(model, q0_np)
 
     # --initpush[=vx]: the reference's push-recovery scenario — the robot
     # STARTS with a COM velocity and the MPC plans from that state
     # (srb_init in a1_config_distr_rejection.yaml)
     init_vx = 0.0
+    push = None
+    goal = None
+    gait_opt_freq = 0
+    stretch = 1.0
     for a in sys.argv[1:]:
         if a.startswith("--initpush"):
             init_vx = float(a.split("=", 1)[1]) if "=" in a else 1.0
-    v0_init = jnp.zeros(model.nv, dtype).at[0].set(init_vx)
-    x0 = mpc_controller.reconstruct_srb_state(model, params, q0, v0_init)
-    feet0 = rbd.ee_positions(model, q0).astype(dtype)
-    sched = (gait.make_standing(cfg) if "--gait=standing" in sys.argv
-             else gait.make_trot(cfg))
-    traj = default_trajectory(cfg, sched, x0, feet0[:, :2])
-    state = solver.SolverState(traj=traj,
-                               ee_box=jnp.asarray(cfg.ee_box_size, dtype))
-    # target: trot in place at nominal height with ZERO momentum (the push
-    # must be rejected, not maintained); --goal=X,Y walks to a position
-    # (the reference's walk-to-position weight set, a1_configuration.yaml
-    # comments 180-204)
-    goal = None
-    for a in sys.argv[1:]:
-        if a.startswith("--goal="):
+        elif a.startswith("--push"):
+            # velocity impulse at t = 1 s (reference distr-rejection shape)
+            push = (1.0, float(a.split("=", 1)[1]) if "=" in a else 1.0)
+        elif a.startswith("--goal="):
             gx, gy = (float(v) for v in a.split("=", 1)[1].split(","))
             goal = (gx, gy)
-    x_tgt = x0.at[3:6].set(0.0)
-    if goal is not None:
-        x_tgt = x_tgt.at[0].add(goal[0]).at[1].add(goal[1])
-    x_des = srb.manifold_to_tangent(x_tgt)
+        elif a.startswith("--gait-opt"):
+            gait_opt_freq = int(a.split("=", 1)[1]) if "=" in a else 10
+        elif a.startswith("--stretch="):
+            # deliberately mistimed schedule: all phases stretched, the
+            # bilevel optimizer's A/B scenario (bench ab_* fields)
+            stretch = float(a.split("=", 1)[1])
 
-    print("initial MPC run ...")
-    t_start = time.time()
-    init_run = jax.jit(lambda st, x, ee: solver.create_initial_run(
-        cfg, params, st, x, ee, x_des))
-    state, stats = init_run(state, x0, feet0)
-    jax.block_until_ready(stats.cost)
-    print(f"  done in {time.time()-t_start:.1f}s; defect={float(stats.defect_l1):.2e} solved={bool(stats.solved)}")
-
-    # bounded carrot: command at most carrot_r of the remaining goal per
-    # plan so far goals don't blow up the momentum (walk-to-position
-    # stays a sequence of small position errors).  The biped gets a
-    # shorter carrot: its inverted-pendulum time constant (~0.27 s) brakes
-    # far slower than the quadruped's diagonal support, so an A1-sized
-    # carrot arrives with momentum and overshoots the goal (measured:
-    # 0.415 m final for a 0.3 m goal).
-    carrot_r = 0.12 if "--robot=adam" in sys.argv else 0.25
-
-    # the biped walks by FOOT PLACEMENT: its Raibert rows track the target
-    # momentum, so the carrot must command a (tapered) walking velocity —
-    # a pure position carrot leaves capture stepping regulating v -> 0
-    # against the MPC's forces and the walk never terminates at the goal
-    # (measured: 0.3 m goal, final 0.89 m and still drifting)
-    vel_carrot = "--robot=adam" in sys.argv
-    v_walk = 0.10
-
-    def clamp_goal(x_srb):
-        if goal is None:
-            return x_des
-        tgt = jnp.asarray([x0[0] + goal[0], x0[1] + goal[1]])
-        d = tgt - x_srb[0:2]
-        n = jnp.linalg.norm(d)
-        # taper near the goal: approach speed shrinks with remaining
-        # distance so the arrival is a gentle stop, not a push-recovery
-        # event (the collapse mode is braking from walk speed)
-        r_eff = jnp.minimum(carrot_r, 0.6 * n)
-        step_xy = jnp.where(n > r_eff, d * (r_eff / (n + 1e-9)), d)
-        # lateral speed limit: trot lateral stepping is structurally
-        # narrower than fore-aft; uncapped diagonal carrots overshoot in y
-        step_xy = step_xy.at[1].set(jnp.clip(step_xy[1], -0.08, 0.08))
-        x_t = x0.at[3:6].set(0.0).at[0:2].set(x_srb[0:2] + step_xy)
-        if vel_carrot:
-            # gentle position feedback (0.8/s — 1.5/s measured unstable:
-            # the overdamped capture stepping turns it into a growing
-            # fore-aft oscillation) + integral velocity trim: the swing
-            # tracking lands feet systematically short (see the kp note
-            # above), leaving a ~0.05 m/s placement bias that pure
-            # proportional velocity commands cannot null
-            v_des = d * (jnp.minimum(v_walk, 0.5 * n) / (n + 1e-9))
-            # near-goal deadband: Adam cannot step backward (measured:
-            # a full -0.10 m/s command still creeps +0.03 forward), so
-            # inside 0.1 m the command is march-in-place and the position
-            # carrot alone holds station
-            v_des = v_des * (n > 0.10)
-            v_des = v_des.at[1].set(jnp.clip(v_des[1], -0.05, 0.05))
-            x_t = x_t.at[3:5].set(float(params.mass) * v_des)
-        return srb.manifold_to_tangent(x_t)
-
-    mpc_step = jax.jit(lambda st, x, t, ee, xd: solver.solve_step(
-        cfg, params, st, x, t, ee, xd))
-    # post-arrival standing uses the static-support carrier so the fresh
-    # stance does not start at boundary-pinned zero force (the engine's
-    # round-1 standing fix, docs/DESIGN.md)
-    # post-arrival standing MPC: carrier-standing schedule (merged
-    # stance) regulates position — joint-PD alone has no position
-    # feedback and residual momentum rolls ~0.2 m before decaying
-    cfg_stand = dataclasses.replace(cfg, force_carrier=True,
-                                    carrier_ramp=0.1).validate()
-    init_stand = jax.jit(lambda st, x, ee, xd: solver.create_initial_run(
-        cfg_stand, params, st, x, ee, xd))
-    mpc_step_stand = jax.jit(lambda st, x, t, ee, xd: solver.solve_step(
-        cfg_stand, params, st, x, t, ee, xd))
-    ctrl_stand = jax.jit(
-        lambda traj, q, v, t, t0, mc: mpc_controller.control_action(
-            model, params, cfg_stand, wb_cfg, traj, q, v, t, t0, mc))
-    ctrl = jax.jit(lambda traj, q, v, t, t0, mc: mpc_controller.control_action(
-        model, params, cfg, wb_cfg, traj, q, v, t, t0, mc))
-
-    loop = MujocoLoop(model, timestep=0.001)
     v0_np = np.zeros(model.nv)
     v0_np[0] = init_vx
-    loop.set_state(np.asarray(q0), v0_np)
+    sched = (gait.make_standing(cfg) if "--gait=standing" in sys.argv
+             else gait.make_trot(cfg))
+    if stretch != 1.0:
+        sched = gait.GaitSchedule(bounds=sched.bounds * stretch)
+    carrot = GoalCarrot(goal=goal, **carrot_kw) if goal is not None else None
 
-    mpc_period = cfg.dt     # one RTI per MPC node period (reference cadence)
-    holder = {"state": state, "t0": 0.0, "n_mpc": 0, "mpc_ms": 0.0,
-              "ctrl_ms": 0.0, "n_ctrl": 0, "fails": 0}
-
-    def control_fn(q, v, t):
-        qj = jnp.asarray(q, dtype)
-        vj = jnp.asarray(v, dtype)
-        if t >= holder["t0"] + mpc_period or t == 0.0:
-            tm = time.perf_counter()
-            x_srb = mpc_controller.reconstruct_srb_state(model, params, qj, vj)
-            feet = rbd.ee_positions(model, qj)
-
-            # early-touchdown schedule sync (AdjustForCurrentContacts)
-            mc_now = jnp.asarray(loop.contacts())
-            st_in = holder["state"]
-            sched2 = gait.adjust_for_current_contacts(
-                st_in.traj.sched, mc_now, jnp.asarray(t, dtype))
-            st_in = dataclasses.replace(
-                st_in, traj=dataclasses.replace(st_in.traj, sched=sched2))
-            step_fn = (mpc_step_stand if holder.get("standing", False)
-                       else mpc_step)
-            st, stats = step_fn(st_in, x_srb,
-                                jnp.asarray(t, dtype), feet,
-                                clamp_goal(x_srb))
-            jax.block_until_ready(stats.cost)
-            holder["state"] = st
-            holder["t0"] = t
-            holder["n_mpc"] += 1
-            holder["mpc_ms"] += (time.perf_counter() - tm) * 1e3
-            if os.environ.get("WALK_DEBUG") and holder["n_mpc"] % 5 == 0:
-                b = np.asarray(st.traj.sched.bounds)
-                fut = b[:, 1:] - b[:, :-1]
-                # lengths of phases that overlap the horizon
-                msk = (b[:, 1:] > t) & (b[:, :-1] < t + cfg.horizon)
-                lens = fut[msk]
-                print(f"  t={t:.2f} cost={float(stats.cost):+.0f} "
-                      f"defect={float(stats.defect_l1):.2e} "
-                      f"alpha={float(stats.alpha):.2f} "
-                      f"phase_len=[{lens.min():.3f},{lens.max():.3f}]")
-            if not bool(stats.solved):
-                holder["fails"] += 1
-        tm = time.perf_counter()
-        mc = jnp.asarray(loop.contacts())
-        # arrival state machine at CONTROL rate: once the goal is reached
-        # at low speed with all four feet planted, hold the configuration
-        # with joint PD + gravity comp (the reference's Stand state,
-        # pd_grav_comp.cpp, hardware_robot.h:46-51) — statically stable,
-        # no schedule to resync.  All-4-contact instants are brief in the
-        # trot, so the gate must sample at 1 kHz, not at MPC ticks.
-        if goal is not None and not holder.get("standing", False):
-            tgt = np.asarray([x0[0] + goal[0], x0[1] + goal[1]])
-            com_now = np.asarray(q[0:3]) + np.asarray(
-                holder.get("com_off_w", np.zeros(3)))
-            err = float(np.hypot(com_now[0] - tgt[0], com_now[1] - tgt[1]))
-            spd = float(np.linalg.norm(np.asarray(v[0:2])))
-            if err < 0.07 and spd < 0.06 and bool(np.all(np.asarray(mc))):
-                x_srb_a = mpc_controller.reconstruct_srb_state(
-                    model, params, qj, vj)
-                feet_a = rbd.ee_positions(model, qj)
-                sched_s = gait.make_standing(cfg_stand, t0=float(t))
-                traj_s = default_trajectory(cfg_stand, sched_s, x_srb_a,
-                                            feet_a[:, :2])
-                st_s = solver.SolverState(
-                    traj=traj_s,
-                    ee_box=jnp.asarray(cfg.ee_box_size, dtype))
-                st_s, _ = init_stand(st_s, x_srb_a, feet_a,
-                                     clamp_goal(x_srb_a))
-                holder["state"] = st_s
-                holder["t0"] = t
-                holder["standing"] = True
-                print(f"  arrived (err {err:.3f} m) -> MPC stand at t={t:.2f}")
-        if holder.get("standing", False):
-            tau = ctrl_stand(holder["state"].traj, qj, vj,
-                             jnp.asarray(t, dtype),
-                             jnp.asarray(holder["t0"], dtype), mc)
-        else:
-            tau = ctrl(holder["state"].traj, qj, vj, jnp.asarray(t, dtype),
-                       jnp.asarray(holder["t0"], dtype), mc)
-        tau = np.asarray(tau)
-        holder["ctrl_ms"] += (time.perf_counter() - tm) * 1e3
-        holder["n_ctrl"] += 1
-        return tau
-
-    # optional push-recovery test (reference a1_config_distr_rejection):
-    # --push[=vx] injects a base velocity impulse at t = 1 s
-    push_v = 0.0
-    for a in sys.argv[1:]:
-        if a.startswith("--push"):
-            push_v = float(a.split("=", 1)[1]) if "=" in a else 1.0
-
-    n_steps = int(seconds * 1000)
-    print(f"running {n_steps} MuJoCo steps ..."
-          + (f" (push {push_v} m/s at t=1s)" if push_v else ""))
+    print(f"closed loop: {seconds}s, robot="
+          + ("adam" if "--robot=adam" in sys.argv else
+             "mini_cheetah" if "--robot=mini_cheetah" in sys.argv else "a1")
+          + (f" goal={goal}" if goal else "")
+          + (f" gait_opt_freq={gait_opt_freq}" if gait_opt_freq else "")
+          + (f" stretch={stretch}" if stretch != 1.0 else "")
+          + (f" push={push}" if push else ""))
     t_start = time.time()
-    if push_v and n_steps > 1000:
-        qs1, vs1, taus1 = loop.run(control_fn, 1000, control_decimation=1)
-        loop.mj_data.qvel[0] += push_v
-        qs2, vs2, taus2 = loop.run(
-            lambda q, v, t: control_fn(q, v, t + 1.0), n_steps - 1000,
-            control_decimation=1)
-        qs = np.concatenate([qs1, qs2])
-        vs = np.concatenate([vs1, vs2])
-        taus = np.concatenate([taus1, taus2])
-    else:
-        qs, vs, taus = loop.run(control_fn, n_steps, control_decimation=1,
-                                viewer="--viewer" in sys.argv,
-                                realtime="--realtime" in sys.argv)
+    res = run_closed_loop(
+        model, cfg, wb_cfg, q0_np, v0_np, seconds, sched=sched,
+        gait_opt_freq=gait_opt_freq, carrot=carrot, push=push,
+        viewer="--viewer" in sys.argv, realtime="--realtime" in sys.argv,
+        debug=bool(os.environ.get("WALK_DEBUG")), dtype=dtype)
     wall = time.time() - t_start
 
-    z = qs[:, 2]
-    xy = qs[:, 0:2]
+    qs, z = res.qs, res.z
     print(f"wall {wall:.1f}s for {seconds}s sim")
-    print(f"MPC solves: {holder['n_mpc']} (avg {holder['mpc_ms']/max(holder['n_mpc'],1):.1f} ms) fails: {holder['fails']}")
-    print(f"ctrl ticks: {holder['n_ctrl']} (avg {holder['ctrl_ms']/max(holder['n_ctrl'],1):.2f} ms)")
-    print(f"z: start {z[0]:.3f} min {z.min():.3f} max {z.max():.3f} end {z[-1]:.3f}")
-    print(f"xy drift: {np.abs(xy).max(axis=0)}")
+    print(f"MPC solves: {res.n_mpc} (avg {res.mpc_ms:.1f} ms) "
+          f"fails: {res.n_fails}"
+          + (f" gait accepts: {res.n_gait_accepts}" if gait_opt_freq else ""))
+    print(f"ctrl ticks avg {res.ctrl_ms:.2f} ms")
+    print(f"z: start {z[0]:.3f} min {z.min():.3f} max {z.max():.3f} "
+          f"end {z[-1]:.3f}")
+    print(f"xy drift: {np.abs(qs[:, 0:2]).max(axis=0)}")
     upright = z.min() > 0.55 * z[0]
     if goal is not None:
         err_t = np.hypot(qs[:, 0] - goal[0], qs[:, 1] - goal[1])
@@ -370,7 +202,9 @@ def main():
         err_min = float(err_t.min())
         print(f"goal {goal}: final ({qs[-1,0]:+.3f},{qs[-1,1]:+.3f}) "
               f"err {err:.3f} m (min over run {err_min:.3f} at "
-              f"t={err_t.argmin()/1000:.1f}s)")
+              f"t={err_t.argmin()/1000:.1f}s)"
+              + (f"  arrived->stand at t={res.arrived_t:.1f}s"
+                 if res.arrived_t >= 0 else ""))
         if "--robot=adam" in sys.argv:
             # biped criterion: REACH the goal and stay upright.  Terminal
             # station-keeping drifts forward ~0.03 m/s because Adam cannot
@@ -380,15 +214,23 @@ def main():
             upright = upright and err_min < 0.12 and err < 0.35
         else:
             upright = upright and err < 0.15
+    if gait_opt_freq:
+        k = max(len(res.costs) // 5, 1)
+        print(f"planning cost: first-5th {np.mean(res.costs[:k]):+.0f} "
+              f"last-5th {np.mean(res.costs[-k:]):+.0f}")
     print("WALKED" if upright else "FELL")
     np.save("/tmp/walk_qs.npy", qs)
     from bilevel_gait_gen_tpu.sim import viz
+    from bilevel_gait_gen_tpu.models import srb as srb_mod
     # convert logged mujoco qpos (wxyz) rows to our convention for the plot
     qs_c = qs.copy()
     qs_c[:, 3:7] = qs[:, [4, 5, 6, 3]]
-    p = viz.plot_plan_overlay(holder["state"].traj, cfg, params, qs_c,
-                              t0=holder["t0"], path="/tmp/walk_overlay.png")
-    print(f"plan/EE-box overlay: {p}")
+    params = srb_mod.make_srb_params(model, jnp.asarray(q0_np, dtype))
+    # rebuild the final trajectory pytree for the overlay from the result
+    # (the harness returns the final schedule; the plan plot uses the last
+    # logged states)
+    p = viz.plot_rollout(qs_c, path="/tmp/walk_rollout.png")
+    print(f"rollout plot: {p}")
     return 0 if upright else 1
 
 

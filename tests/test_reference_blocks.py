@@ -283,3 +283,317 @@ def test_condensed_dynamics_first_step_matches_hand_euler():
     x1_hand = x0_tan + CFG.dt * xdot
     np.testing.assert_allclose(xs[0], x0_tan, atol=1e-9)
     np.testing.assert_allclose(xs[1], x1_hand, atol=1e-7, rtol=1e-7)
+
+
+def test_ee_start_rows_match_hand_positions():
+    """EE-start rows realize foot_xy(t0) = measured foot position
+    (AddEEStartConstraints, mpc_single_rigid_body.cpp:445-475): the row's
+    A.u equals the hand smoothstep foot position at t0 and its b equals the
+    measured xy.  t0 is placed mid-swing of EE 0 so the blend weights (not
+    just a foothold identity) are exercised."""
+    traj = _rand_traj(key=5)
+    b = np.asarray(traj.sched.bounds, np.float64)
+    t0 = 0.5 * (b[0, 1] + b[0, 2])          # mid first swing of EE 0
+    qp = qp_mod.assemble(CFG, PARAMS, traj, X0, jnp.asarray(t0), FEET0,
+                         X_DES, jnp.asarray(CFG.ee_box_size, jnp.float64))
+    u = ravel_u(traj.f_nodes, traj.footholds)
+    Au = np.asarray(qp.A @ u)
+    beq = np.asarray(qp.b)
+    E = CFG.num_ee
+    for e in range(E):
+        want = _hand_foot_xy(b[e], np.asarray(traj.footholds[e]), t0)
+        for c in range(2):
+            row = 2 * e + c
+            np.testing.assert_allclose(Au[row], want[c], atol=1e-9,
+                                       err_msg=f"EE-start row ({e},{c})")
+            np.testing.assert_allclose(beq[row], float(FEET0[e, c]),
+                                       atol=1e-9)
+
+
+def test_ee_box_rows_match_hand_box():
+    """EE-box rows realize  lb <= foot_xy(t_k) - com_xy(t_k) <= ub with
+    ub/lb = hip_offset +- box/2 (AddEELocationConstraints,
+    mpc_single_rigid_body.cpp:381-443, split +- rows for the one-sided
+    form).  foot_xy is the hand smoothstep spline; com_xy comes from the
+    condensed state map, itself contract-tested against the hand Euler
+    dynamics above."""
+    traj = _rand_traj(key=6)
+    qp = _assembled(traj)
+    u = ravel_u(traj.f_nodes, traj.footholds)
+    Gu_h = np.asarray(qp.G @ u - qp.h)
+    xs = np.asarray(qp_mod.recover_states(qp, u))
+
+    E, S, FB, N = (CFG.num_ee, CFG.num_stance_slots,
+                   CFG.samples_per_stance, CFG.num_nodes)
+    n_cone = E * S * FB * 4
+    n_fz = E * S * FB
+    n_box = (N + 1 - CFG.ee_node_start) * E * 2
+    base_ub = n_cone + 2 * n_fz
+    base_lb = base_ub + n_box
+    b = np.asarray(traj.sched.bounds)
+    hip = np.asarray(PARAMS.hip_offset)
+    half = np.asarray(CFG.ee_box_size) / 2
+
+    checked = 0
+    for k in range(CFG.ee_node_start, N + 1):
+        t = k * CFG.dt
+        for e in range(E):
+            foot = _hand_foot_xy(b[e], np.asarray(traj.footholds[e]), t)
+            for c in range(2):
+                idx = ((k - CFG.ee_node_start) * E + e) * 2 + c
+                val = foot[c] - xs[k, c]
+                ub = hip[e, c] + half[c]
+                lb = hip[e, c] - half[c]
+                np.testing.assert_allclose(
+                    Gu_h[base_ub + idx], val - ub, atol=1e-7,
+                    err_msg=f"EE-box ub row (k={k},e={e},c={c})")
+                np.testing.assert_allclose(
+                    Gu_h[base_lb + idx], lb - val, atol=1e-7,
+                    err_msg=f"EE-box lb row (k={k},e={e},c={c})")
+                checked += 2
+    assert checked == 2 * n_box
+
+
+def test_raibert_rows_match_hand_heuristic():
+    """Raibert rows realize foot_xy(td_j) - com_xy(node_j) -
+    kappa (h_xy(node_j) - h_des) = hip_raw with kappa = vel_gain T_st/(2m)
+    (AddRaibertHeuristic, mpc_single_rigid_body.cpp:939-1017 — the
+    reference ships the velocity coefficient as literal 0.00; here the
+    per-axis gains and the DESIRED-momentum tracking term are exercised
+    with nonzero values)."""
+    cfg_r = MPCConfig(raibert=True,
+                      raibert_vel_gain=(1.8, 1.2)).validate()
+    traj = default_trajectory(cfg_r, gait.make_trot(cfg_r), X0,
+                              FEET0[:, :2])
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    traj = Trajectory(
+        x_man=traj.x_man,
+        f_nodes=20.0 * jax.random.normal(k1, traj.f_nodes.shape,
+                                         jnp.float64),
+        footholds=traj.footholds + 0.03 * jax.random.normal(
+            k2, traj.footholds.shape, jnp.float64),
+        sched=traj.sched)
+    # desired state WITH momentum: the kappa * h_des term must be nonzero
+    x_des_man = X0.at[3].set(0.8 * float(PARAMS.mass))
+    x_des = srb.manifold_to_tangent(x_des_man)
+    t0 = 0.0
+    qp = qp_mod.assemble(cfg_r, PARAMS, traj, X0, jnp.asarray(t0), FEET0,
+                         x_des, jnp.asarray(cfg_r.ee_box_size, jnp.float64))
+    u = ravel_u(traj.f_nodes, traj.footholds)
+    Au_b = np.asarray(qp.A @ u - qp.b)
+    xs = np.asarray(qp_mod.recover_states(qp, u))
+
+    E, N, dt = cfg_r.num_ee, cfg_r.num_nodes, cfg_r.dt
+    b = np.asarray(traj.sched.bounds)
+    mass = float(PARAMS.mass)
+    hip_raw = np.asarray(PARAMS.hip_offset_raw)
+    h_des = np.asarray(x_des)[3:5]
+    vg = np.array([1.8, 1.2])
+
+    # replicate the reference's row-activity rules: the TD pin claims the
+    # gated next touchdown; zero-length previous swings are not landings
+    td_t = np.array([b[e, 0::2][b[e, 0::2] > t0][0] for e in range(E)])
+    swing = []
+    for e in range(E):
+        sw_slots = b[e, 1::2]
+        p = np.searchsorted(b[e, 1:], t0, side="right")
+        p = min(p, b.shape[1] - 2)
+        sp = p if p % 2 == 1 else min(p + 1, b.shape[1] - 2)
+        swing.append(b[e, sp + 1] - b[e, sp])
+    td_pin_active = (td_t - t0) < cfg_r.td_fraction * np.asarray(swing)
+
+    NT = b[:, 0::2].shape[1]
+    checked_active = 0
+    checked_masked = 0
+    for e in range(E):
+        td_all = b[e, 0::2]
+        t_st = b[e, 1::2] - b[e, 0:-1:2]
+        t_st = np.concatenate([t_st, [1.0]])[:NT]
+        prv_sw = td_all - np.concatenate([[td_all[0] - 1.0],
+                                          b[e, 1::2][:NT - 1]])
+        for j in range(NT):
+            node = int(np.clip(np.floor((td_all[j] - t0) / dt
+                                        - 1e-2 / dt), 0, N))
+            kap = vg * t_st[j] / (2.0 * mass)
+            active = (td_all[j] > t0 and td_all[j] < t0 + N * dt
+                      and prv_sw[j] > 1e-4
+                      and not (td_pin_active[e]
+                               and abs(td_all[j] - td_t[e]) < 1e-9))
+            for c in range(2):
+                row = 4 * E + (e * NT + j) * 2 + c
+                if not active:
+                    np.testing.assert_allclose(Au_b[row], 0.0, atol=1e-12)
+                    checked_masked += 1
+                    continue
+                foot = _hand_foot_xy(b[e], np.asarray(traj.footholds[e]),
+                                     td_all[j])
+                want = (foot[c] - xs[node, c]
+                        - kap[c] * (xs[node, 3 + c] - h_des[c])
+                        - hip_raw[e, c])
+                np.testing.assert_allclose(
+                    Au_b[row], want, atol=1e-7,
+                    err_msg=f"Raibert row (e={e},j={j},c={c})")
+                checked_active += 1
+    assert checked_active >= 2 * E, "too few active Raibert rows"
+    assert checked_masked >= 2, "masking rule never exercised"
+
+
+# ---------------------------------------------------------------------------
+# hand-derived spline derivatives w.r.t. contact times (the reference's
+# trickiest code: EndEffectorSplines::ComputePartialWrtTime,
+# end_effector_splines.cpp:513-650, with its direct lower/upper-node
+# dependence and indirect interior-node rescaling dtdth/dDTdth split).
+# Here the same split is derived BY HAND from the Hermite closed form and
+# checked against jax.grad of ops/spline.py.
+# ---------------------------------------------------------------------------
+
+def _hand_force_dtheta(lo, hi, f_nodes_ee_s, t, F):
+    """d force(t) / d (lo, hi) for t inside stance [lo, hi], hand chain
+    rule.  Let D = hi-lo, seg = D/F, j = floor((t-lo)/seg) (constant for t
+    strictly inside a segment), s = t - lo - j seg.
+
+    Direct dependence: s shifts with the boundary (ds/dlo = -1 + j/F,
+    ds/dhi = -j/F).  Indirect dependence: every interior node's time
+    rescales through seg (dseg/dlo = -1/F, dseg/dhi = +1/F) — the
+    reference's dtdth/dDTdth terms.  V(s, seg) = x0 + d0 s + a2(seg) s^2 +
+    a3(seg) s^3 with a2 = -3(x0-x1)/seg^2 - (2 d0 + d1)/seg,
+    a3 = 2(x0-x1)/seg^3 + (d0+d1)/seg^2 (ValueAt's coefficients,
+    end_effector_splines.cpp:169-199)."""
+    D = hi - lo
+    seg = D / F
+    j = min(int((t - lo) // seg), F - 1)
+    s = t - lo - j * seg
+
+    def node(g):
+        if g == 0 or g == F:
+            return np.zeros(3), np.zeros(3)
+        return (np.asarray(f_nodes_ee_s[g - 1, :, 0]),
+                FORCE_MULT * np.asarray(f_nodes_ee_s[g - 1, :, 1]))
+
+    x0, d0 = node(j)
+    x1, d1 = node(j + 1)
+    dx = x0 - x1
+    a2 = -3 * dx / seg**2 - (2 * d0 + d1) / seg
+    a3 = 2 * dx / seg**3 + (d0 + d1) / seg**2
+    dV_ds = d0 + 2 * a2 * s + 3 * a3 * s * s
+    da2_dseg = 6 * dx / seg**3 + (2 * d0 + d1) / seg**2
+    da3_dseg = -6 * dx / seg**4 - 2 * (d0 + d1) / seg**3
+    dV_dseg = da2_dseg * s * s + da3_dseg * s**3
+
+    ds_dlo = -1.0 + j / F
+    ds_dhi = -j / F
+    dseg_dlo = -1.0 / F
+    dseg_dhi = 1.0 / F
+    dV_dlo = dV_ds * ds_dlo + dV_dseg * dseg_dlo
+    dV_dhi = dV_ds * ds_dhi + dV_dseg * dseg_dhi
+    return dV_dlo, dV_dhi
+
+
+def test_force_spline_dtheta_matches_hand_boundary_terms():
+    """jax.grad of force_value w.r.t. the stance's own (touchdown, liftoff)
+    boundaries equals the hand chain-rule derivative, and is ZERO on every
+    other boundary (the reference's node-dependence locality,
+    ComputePartialWrtTime's idx checks)."""
+    from bilevel_gait_gen_tpu.ops import spline as spline_ops
+    traj = _rand_traj(key=8)
+    b = np.asarray(traj.sched.bounds, np.float64)
+    F = CFG.num_force_polys
+    e = 1                                     # EE starting in contact
+    fn_e = jnp.asarray(traj.f_nodes[e])
+
+    # sample times: one per segment interior of stance slot 1 (a fully
+    # future stance exercised by the window), plus an early / late point
+    s_idx = 1
+    lo, hi = b[e, 2 * s_idx], b[e, 2 * s_idx + 1]
+    seg = (hi - lo) / F
+    ts = [lo + (j + 0.37) * seg for j in range(F)] + [lo + 0.05 * seg,
+                                                      hi - 0.05 * seg]
+    for t in ts:
+        for c in range(3):
+            g = jax.grad(lambda bb: spline_ops.force_value(
+                bb, fn_e, jnp.asarray(t), F)[c])(
+                jnp.asarray(b[e]))
+            g = np.asarray(g)
+            dlo, dhi = _hand_force_dtheta(lo, hi, np.asarray(fn_e[s_idx]),
+                                          t, F)
+            np.testing.assert_allclose(g[2 * s_idx], dlo[c], rtol=1e-9,
+                                       atol=1e-10,
+                                       err_msg=f"d/dlo at t={t} c={c}")
+            np.testing.assert_allclose(g[2 * s_idx + 1], dhi[c], rtol=1e-9,
+                                       atol=1e-10,
+                                       err_msg=f"d/dhi at t={t} c={c}")
+            mask = np.ones_like(g, bool)
+            mask[2 * s_idx:2 * s_idx + 2] = False
+            np.testing.assert_allclose(g[mask], 0.0, atol=1e-12,
+                                       err_msg="nonlocal boundary leak")
+
+
+def test_position_spline_dtheta_matches_hand_boundary_terms():
+    """Swing xy blend: d foot_xy(t)/d(liftoff hi, next touchdown nxt) by
+    hand.  tau = (t-hi)/(nxt-hi), blend = 3 tau^2 - 2 tau^3:
+    d blend/d tau = 6 tau (1-tau), d tau/d hi = (t-nxt)/(nxt-hi)^2,
+    d tau/d nxt = -(t-hi)/(nxt-hi)^2.  Checks jax.grad of foot_position
+    against these and locality on the other boundaries."""
+    from bilevel_gait_gen_tpu.ops import spline as spline_ops
+    traj = _rand_traj(key=9)
+    b = np.asarray(traj.sched.bounds, np.float64)
+    e = 1
+    fh_e = jnp.asarray(traj.footholds[e])
+    fh = np.asarray(fh_e)
+
+    s_idx = 1                                 # swing slot 3: [b[3], b[4])
+    hi, nxt = b[e, 2 * s_idx + 1], b[e, 2 * s_idx + 2]
+    for frac in (0.13, 0.5, 0.87):
+        t = hi + frac * (nxt - hi)
+        tau = (t - hi) / (nxt - hi)
+        dblend = 6 * tau * (1 - tau)
+        dtau_dhi = (t - nxt) / (nxt - hi) ** 2
+        dtau_dnxt = -(t - hi) / (nxt - hi) ** 2
+        dfh = fh[s_idx + 1] - fh[s_idx]
+        for c in range(2):
+            g = np.asarray(jax.grad(lambda bb: spline_ops.foot_position(
+                bb, fh_e, jnp.asarray(t), CFG.swing_height,
+                CFG.foot_offset)[c])(jnp.asarray(b[e])))
+            np.testing.assert_allclose(g[2 * s_idx + 1],
+                                       dfh[c] * dblend * dtau_dhi,
+                                       rtol=1e-9, atol=1e-10)
+            np.testing.assert_allclose(g[2 * s_idx + 2],
+                                       dfh[c] * dblend * dtau_dnxt,
+                                       rtol=1e-9, atol=1e-10)
+            mask = np.ones_like(g, bool)
+            mask[2 * s_idx + 1:2 * s_idx + 3] = False
+            np.testing.assert_allclose(g[mask], 0.0, atol=1e-12)
+
+
+def test_swing_z_dtheta_matches_hand_boundary_terms():
+    """Prescribed swing-z profile (SetSwingPosZ, trajectory.cpp:303-317):
+    two Hermite halves with zero end derivatives, half = (nxt-hi)/2,
+    s = t-hi (first half).  V(s, half) = off + a2 s^2 + a3 s^3 with
+    a2 = -3 (off - hgt)/half^2, a3 = 2 (off - hgt)/half^3; hand chain rule
+    d/dhi = -dV/ds - dV/dhalf / 2, d/dnxt = dV/dhalf / 2."""
+    from bilevel_gait_gen_tpu.ops import spline as spline_ops
+    traj = _rand_traj(key=10)
+    b = np.asarray(traj.sched.bounds, np.float64)
+    e = 1
+    fh_e = jnp.asarray(traj.footholds[e])
+    s_idx = 1
+    hi, nxt = b[e, 2 * s_idx + 1], b[e, 2 * s_idx + 2]
+    half = 0.5 * (nxt - hi)
+    off, hgt = CFG.foot_offset, CFG.swing_height
+
+    t = hi + 0.31 * (nxt - hi)                # first half
+    s = t - hi
+    dx = off - hgt
+    a2 = -3 * dx / half**2
+    a3 = 2 * dx / half**3
+    dV_ds = 2 * a2 * s + 3 * a3 * s * s
+    dV_dhalf = (6 * dx / half**3) * s * s + (-6 * dx / half**4) * s**3
+    want_dhi = -dV_ds - 0.5 * dV_dhalf
+    want_dnxt = 0.5 * dV_dhalf
+
+    g = np.asarray(jax.grad(lambda bb: spline_ops.foot_position(
+        bb, fh_e, jnp.asarray(t), hgt, off)[2])(jnp.asarray(b[e])))
+    np.testing.assert_allclose(g[2 * s_idx + 1], want_dhi, rtol=1e-9,
+                               atol=1e-10)
+    np.testing.assert_allclose(g[2 * s_idx + 2], want_dnxt, rtol=1e-9,
+                               atol=1e-10)
