@@ -88,6 +88,18 @@ class GoalCarrot:
     v_walk: float = 0.10               # walking-speed command [m/s]
     v_lat_cap: float = 0.05
     v_deadband: float = 0.10           # march-in-place inside this range
+    # integral velocity trim (1/s): closes the systematic foot-placement
+    # bias of velocity-carrot walkers — the swing tracking lands feet
+    # slightly short, leaving a residual drift that a pure proportional
+    # command cannot null (measured on Adam: a -0.10 m/s command still
+    # nets +0.03 m/s forward; the trim is what makes station-keeping and
+    # net BACKWARD stepping possible).  0 = off.
+    ki: float = 0.0
+    # per-axis integral cap [m/s]: lateral defaults to ZERO — trimming y
+    # destabilizes the roll-coupled lateral stepping cycle (measured on
+    # Adam: a y-integral wound the march into a 1.9 m lateral runaway
+    # after goal arrival); fore-aft is where the placement bias lives
+    int_cap: tuple = (0.06, 0.0)
     stand_on_arrival: bool = True
     arrive_err: float = 0.07
     arrive_speed: float = 0.06
@@ -217,12 +229,21 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
         x_t = x_t.at[0:2].set(x_srb[0:2] + step_xy)
         if c.vel_carrot:
             # momentum carrot for foot-placement walkers (Raibert rows
-            # track target momentum); deadband near the goal: no backward
-            # stepping, so inside it the command is march-in-place
+            # track target momentum); deadband near the goal: inside it the
+            # proportional command is march-in-place and the integral trim
+            # holds station (incl. stepping BACKWARD against the placement
+            # bias — see GoalCarrot.ki)
             v_des = d * (jnp.minimum(c.v_walk, 0.5 * n) / (n + 1e-9))
             v_des = v_des * (n > c.v_deadband)
             v_des = v_des.at[1].set(jnp.clip(v_des[1], -c.v_lat_cap,
                                              c.v_lat_cap))
+            if c.ki > 0.0:
+                v_act = x_srb[3:5] / float(params.mass)
+                vi = holder["v_int"] + c.ki * cfg.dt * np.asarray(
+                    v_des - v_act)
+                cap = np.asarray(c.int_cap)
+                holder["v_int"] = np.clip(vi, -cap, cap)
+                v_des = v_des + jnp.asarray(holder["v_int"], dtype)
             x_t = x_t.at[3:5].set(float(params.mass) * v_des)
         return srb.manifold_to_tangent(x_t)
 
@@ -233,7 +254,8 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
               "trust": jnp.asarray(cfg.trust_region, dtype),
               "standing": False, "arrived_t": -1.0, "costs": [],
               "mpc_ms": 0.0, "ctrl_ms": 0.0, "n_ctrl": 0,
-              "slip": 0.0, "flight_s": 0.0}
+              "slip": 0.0, "flight_s": 0.0, "flight_run": 0.0,
+              "v_int": np.zeros(2)}
 
     def control_fn(q, v, t):
         qj = jnp.asarray(q, dtype)
@@ -277,6 +299,21 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
                                      feet, xd)
             jax.block_until_ready(st.traj.x_man)
             holder["state"] = st
+            if viewer:
+                # live plan overlay (Simulator::UpdateVizGeoms): planned
+                # COM trajectory, in-window footholds, COM-relative EE
+                # boxes (qp.py: foothold in COM_xy + hip +- box/2)
+                com0 = np.asarray(st.traj.x_man[0, 0:2])
+                hip = np.asarray(params.hip_offset)
+                loop.overlay = {
+                    "com_traj": np.asarray(st.traj.x_man[:, 0:3]),
+                    "footholds": np.asarray(st.traj.footholds).reshape(
+                        -1, 2),
+                    "ee_box": (com0[None, :] + hip,
+                               tuple(np.asarray(st.ee_box).reshape(-1)[:2]
+                                     if np.asarray(st.ee_box).size >= 2
+                                     else (float(st.ee_box),) * 2)),
+                }
             holder["t0"] = t
             holder["n"] += 1
             holder["mpc_ms"] += (_time.perf_counter() - tm) * 1e3
@@ -300,9 +337,18 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
                 and not bool(np.any(np.asarray(mc)))):
             # accrue airborne time at control rate (flight phases last tens
             # of ms — MPC-tick sampling would quantize them to 0 or cfg.dt);
-            # applied as a schedule hold at the next MPC tick
-            holder["slip"] += 0.001
+            # applied as a schedule hold at the next MPC tick.  A dwell
+            # filter skips the first 25 ms of each contiguous flight:
+            # support EXCHANGES pass through brief all-airborne instants by
+            # construction (a biped trot exchanges every phase; measured,
+            # accruing them desynced the Adam march into a fall), while the
+            # braking hops this lever exists for last 50-200 ms.
+            holder["flight_run"] += 0.001
             holder["flight_s"] += 0.001
+            if holder["flight_run"] > 0.025:
+                holder["slip"] += 0.001
+        else:
+            holder["flight_run"] = 0.0
         # arrival state machine at CONTROL rate: once the goal is reached
         # at low speed with all feet planted, switch to a standing MPC
         # (carrier-standing schedule regulates position; joint PD alone has

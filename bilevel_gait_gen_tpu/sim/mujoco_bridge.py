@@ -106,6 +106,14 @@ class MujocoLoop:
             robot_to_mjcf(model, foot_radius, timestep))
         self.mj_data = mujoco.MjData(self.mj_model)
         self.timestep = timestep
+        # live plan overlay (Simulator::UpdateVizGeoms equivalent,
+        # simulation/include/simulator.h:67 + visualization.cpp): the
+        # control loop stores the current MPC plan here and `run` draws it
+        # into the passive viewer's user scene each frame.  Keys:
+        #   com_traj  [N,3]   planned COM positions (line of spheres)
+        #   footholds [E,2|3] planned next footholds (green spheres)
+        #   ee_box    ([E,2] centers, (sx, sy)) allowed foothold boxes
+        self.overlay: dict | None = None
 
     # --- config conversions (SimulationRobot::ConvertMujoco*, mujoco uses
     # wxyz quaternions and world-frame free-joint linear velocity) ----------
@@ -145,6 +153,37 @@ class MujocoLoop:
                     flags[name_to_e[g]] = True
         return flags
 
+    def _draw_overlay(self, scn):
+        """Draw the stored MPC plan into a viewer user scene
+        (Simulator::UpdateVizGeoms, simulation/visualization.cpp: planned
+        trajectory + EE boxes + footholds as debug geoms)."""
+        mujoco = self._mujoco
+        ov = self.overlay
+        eye = np.eye(3, dtype=np.float64).reshape(-1)
+        scn.ngeom = 0
+
+        def add(gtype, size, pos, rgba):
+            if scn.ngeom >= scn.maxgeom:
+                return
+            g = scn.geoms[scn.ngeom]
+            mujoco.mjv_initGeom(g, gtype, np.asarray(size, np.float64),
+                                np.asarray(pos, np.float64), eye,
+                                np.asarray(rgba, np.float32))
+            scn.ngeom += 1
+
+        for p in np.asarray(ov.get("com_traj", np.zeros((0, 3)))):
+            add(mujoco.mjtGeom.mjGEOM_SPHERE, [0.008, 0, 0], p,
+                [0.2, 0.5, 1.0, 0.8])
+        for p in np.asarray(ov.get("footholds", np.zeros((0, 2)))):
+            pos = [p[0], p[1], p[2] if len(p) > 2 else 0.005]
+            add(mujoco.mjtGeom.mjGEOM_SPHERE, [0.015, 0, 0], pos,
+                [0.1, 0.9, 0.2, 0.9])
+        if "ee_box" in ov:
+            centers, (sx, sy) = ov["ee_box"]
+            for c in np.asarray(centers):
+                add(mujoco.mjtGeom.mjGEOM_BOX, [sx / 2, sy / 2, 0.002],
+                    [c[0], c[1], 0.004], [1.0, 0.8, 0.1, 0.35])
+
     def run(self, control_fn, n_steps: int, control_decimation: int = 1,
             viewer: bool = False, realtime: bool = False):
         """Step physics, calling control_fn every `control_decimation` steps.
@@ -183,6 +222,8 @@ class MujocoLoop:
                 vs.append(self.mj_data.qvel.copy())
                 taus.append(tau.copy())
                 if handle is not None:
+                    if self.overlay is not None and k % 20 == 0:
+                        self._draw_overlay(handle.user_scn)
                     handle.sync()
                 if realtime:
                     lag = (k + 1) * self.timestep - (_time.perf_counter()

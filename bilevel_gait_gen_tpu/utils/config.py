@@ -178,9 +178,11 @@ class MPCConfig:
     # Mehrotra initializer solves the equality-relaxed QP, and 5 cold
     # sweeps land within ~0.3% of the converged objective, preserving the
     # full-depth ranking (tests/test_bilevel.py::
-    # test_lane_depth_ranks_like_full_depth).  (Perf: the lane search is
-    # the bulk of the gait-opt update's cost.)
-    ls_ipm_iters: int = 5
+    # test_lane_depth_ranks_like_full_depth, depths 3-5).  (Perf: the lane
+    # search is the bulk of the gait-opt update's cost; 4 all-exact sweeps
+    # keep the tested ranking at ~80% of the 5-sweep cost — measured
+    # batch-128 lane solve 110 ms at 5 sweeps, TPU lane profile r4.)
+    ls_ipm_iters: int = 4
     # Newton-Schulz cadence inside the lanes.  1 = all exact (default).
     # NS-tracked COLD lane solves were measured to misestimate the lane
     # objective by >1e3 on transient states (the alpha=0 lane read +219

@@ -43,11 +43,15 @@ def main():
         cfg = MPCConfig(num_nodes=50, dt=0.02, ipm_iters=18,
                         force_bound=200.0, friction_coef=0.6,
                         force_cost=0.001,
+                        contact_snap_window=float(os.environ.get(
+                            "SNAP", "0.25")),
                         q_diag=(140.0, 140.0, 12000.0, 0.015, 0.015, 10.0,
                                 3000.0, 3000.0, 3000.0, 1.0, 1.0, 1.0)
                         ).validate()
     else:
-        cfg = MPCConfig(ipm_iters=18).validate()
+        cfg = MPCConfig(ipm_iters=18,
+                        contact_snap_window=float(os.environ.get(
+                            "SNAP", "0.25"))).validate()
     if "--raibert" in sys.argv:
         # capture-point touchdown placement (reference AddRaibertHeuristic,
         # mpc_single_rigid_body.cpp:939-1017): foothold = hip + T_st/2 v_com
@@ -80,7 +84,12 @@ def main():
         from bilevel_gait_gen_tpu.models import adam as robot_mod
         model = robot_mod.make_adam()
         q0_np = np.asarray(robot_mod.stand_config(), np.float64)
+        # biped snap stays at the reference's 70 ms: the quadruped's wide
+        # window (0.25 > the 0.2 s swing) eats the biped gait — point feet
+        # scuff during swing and every scuff would snap the touchdown
         cfg = MPCConfig(num_ee=2, ipm_iters=18, friction_coef=0.3,
+                        contact_snap_window=float(os.environ.get(
+                            "SNAP", "0.07")),
                         phase_duration=float(os.environ.get(
                             "ADAM_PHASE", "0.3")),
                         force_bound=250.0, swing_height=0.08,
@@ -120,7 +129,12 @@ def main():
         # the biped walks by FOOT PLACEMENT (Raibert rows track target
         # momentum): short carrot (inverted-pendulum tau ~0.27 s brakes far
         # slower than diagonal support) + tapered velocity command
-        carrot_kw = dict(radius=0.12, vel_carrot=True, v_walk=0.10)
+        # integral trim (ki) nulls the placement bias for station-keeping
+        # and backward stepping; a point-foot biped cannot balance
+        # statically, so arrival keeps marching instead of standing
+        carrot_kw = dict(radius=0.12, vel_carrot=True, v_walk=0.10,
+                         ki=float(os.environ.get("ADAM_KI", "0.5")),
+                         stand_on_arrival=False)
     else:
         model = a1.make_a1()
         q0_np = np.asarray(a1.stand_config(), np.float64)

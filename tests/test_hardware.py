@@ -163,10 +163,6 @@ def test_mpc_over_udp_standing():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.pop("JAX_ENABLE_X64", None)
-    # production runs ONE device; the 8-virtual-device XLA flag
-    # changes partitioning/fusion numerics enough to tip marginal
-    # closed loops (measured: the Adam march falls under it)
-    env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [_sys.executable, os.path.join(root, "scripts",
                                        "hardware_sim_demo.py"),

@@ -42,3 +42,24 @@ def test_plot_plan_overlay(tmp_path):
                               path=str(tmp_path / "o.png"))
     import os
     assert os.path.getsize(p) > 1000
+
+
+def test_viewer_user_scene_overlay():
+    """The live viewer overlay (Simulator::UpdateVizGeoms equivalent,
+    mujoco_bridge.MujocoLoop._draw_overlay) populates a user scene with
+    plan geoms — exercised headless against a raw MjvScene."""
+    import mujoco
+    from bilevel_gait_gen_tpu.models import a1
+    from bilevel_gait_gen_tpu.sim.mujoco_bridge import MujocoLoop
+    loop = MujocoLoop(a1.make_a1())
+    loop.overlay = {
+        "com_traj": np.linspace([0, 0, 0.3], [0.5, 0, 0.3], 21),
+        "footholds": np.array([[0.2, 0.15], [0.2, -0.15]]),
+        "ee_box": (np.array([[0.25, 0.15], [0.25, -0.15]]), (0.15, 0.15)),
+    }
+    scn = mujoco.MjvScene(loop.mj_model, maxgeom=200)
+    loop._draw_overlay(scn)
+    # 21 COM spheres + 2 footholds + 2 boxes
+    assert scn.ngeom == 25
+    assert scn.geoms[0].type == mujoco.mjtGeom.mjGEOM_SPHERE
+    assert scn.geoms[scn.ngeom - 1].type == mujoco.mjtGeom.mjGEOM_BOX
