@@ -98,6 +98,12 @@ def main():
         ipm_exact_every=int(os.environ.get("BENCH_EXACT_EVERY", "3")),
         ipm_grad_polish=int(os.environ.get("BENCH_GRAD_POLISH", "2")),
         qp_kernel=os.environ.get("BENCH_QP_KERNEL", "xla"),
+        ls_ipm_iters=int(os.environ.get("BENCH_LS_ITERS", "0")) or
+        MPCConfig.ls_ipm_iters,
+        ls_exact_every=int(os.environ.get("BENCH_LS_EXACT", "0")) or
+        MPCConfig.ls_exact_every,
+        ls_alphas=int(os.environ.get("BENCH_LS_ALPHAS", "0")) or
+        MPCConfig.ls_alphas,
     ).validate()   # N=20, dt=0.05 (walk config)
 
     params, state, x0, feet0, x_des, states, x0s, feets = make_problem(

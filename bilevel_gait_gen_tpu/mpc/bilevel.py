@@ -111,23 +111,29 @@ def outer_gradient_at(cfg: MPCConfig, params: SRBParams, traj_lin: Trajectory,
 @highest_matmul_precision
 def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
                       t0: jax.Array,
-                      trust: jax.Array | float | None = None) -> jax.Array:
+                      trust: jax.Array | float | None = None,
+                      Bk: jax.Array | None = None) -> jax.Array:
     """Projected descent step on the contact times.
 
-    Solves  min  g^T d + (rho/2)|d|^2   s.t. ordering/dwell polytope, pinned
-    past boundaries, |d|_inf <= trust — the reference's OSQP projection QP
-    with Bk = 0 (damped-BFGS path disabled there, gait_optimizer.cpp:276).
-    Returns the step d with the same shape as sched.bounds.
+    Solves  min  g^T d + (1/2) d^T (rho I + Bk) d  s.t. ordering/dwell
+    polytope, pinned past boundaries, |d|_inf <= trust — the reference's
+    OSQP projection QP (GaitOptimizer::OptimizeContactTimes).  ``Bk`` is
+    the damped-BFGS outer curvature (the reference ships this path
+    DISABLED, Bk = 0, gait_optimizer.cpp:276,541-561; enable with
+    cfg.gait_bfgs).  Returns the step d with the same shape as
+    sched.bounds.
     """
     b = sched.bounds                    # [E, P+1]
     E, P1 = b.shape
     n = E * P1
     dtype = b.dtype
     g = grad.reshape(-1)
-    # normalize: with Bk = 0 (reference gait_optimizer.cpp:276) the step is
-    # direction-only and the alpha grid scans magnitude; unnormalized
-    # gradients (|g| ~ 1e3) also start the IPM far outside the trust box
-    g = g / jnp.maximum(1.0, jnp.max(jnp.abs(g)))
+    # normalize: the step is direction-only (the alpha grid scans
+    # magnitude) and unnormalized gradients (|g| ~ 1e3) start the IPM far
+    # outside the trust box.  With Bk present, g and Bk are scaled by the
+    # SAME factor so the argmin of the quadratic model is unchanged.
+    c_scale = jnp.maximum(1.0, jnp.max(jnp.abs(g)))
+    g = g / c_scale
     trust = jnp.asarray(cfg.trust_region if trust is None else trust, dtype)
 
     # pin boundaries at/before t0 (past must not move) AND each EE's FIRST
@@ -147,6 +153,8 @@ def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
 
     rho = jnp.asarray(1.0, dtype)       # small damping makes the LP a QP
     H = rho * jnp.eye(n, dtype=dtype)
+    if Bk is not None:
+        H = H + Bk / c_scale
     q = jnp.where(pinned, 0.0, g)
 
     # equalities: d_i = 0 for pinned boundaries
@@ -190,6 +198,57 @@ def contact_time_step(cfg: MPCConfig, sched: GaitSchedule, grad: jax.Array,
     return b2 - b
 
 
+class OuterCurvature(NamedTuple):
+    """Damped-BFGS curvature of the outer objective H(theta), carried
+    across gait ticks (the reference's disabled escalation path,
+    gait_optimizer.cpp:541-561 UpdateBk).
+
+    B:     [n, n] curvature approximation (n = E*(P+1) flattened bounds)
+    theta: [n] bounds at which `g` was evaluated
+    g:     [n] outer gradient at theta
+    ok:    a previous (theta, g) pair exists AND the bounds array has not
+           been re-indexed (window roll / flight hold) since
+    """
+    B: jax.Array
+    theta: jax.Array
+    g: jax.Array
+    ok: jax.Array
+
+
+def init_curvature(cfg: MPCConfig, dtype=jnp.float32) -> OuterCurvature:
+    """Neutral curvature carry: B = 0 (pure gradient until pairs accrue)."""
+    n = cfg.num_ee * (cfg.num_phase_slots + 1)
+    return OuterCurvature(B=jnp.zeros((n, n), dtype),
+                          theta=jnp.zeros(n, dtype),
+                          g=jnp.zeros(n, dtype),
+                          ok=jnp.asarray(False))
+
+
+def _bfgs_update(B: jax.Array, s: jax.Array, y: jax.Array) -> jax.Array:
+    """One Powell-damped BFGS update, B <- B - Bss^TB/s^TBs + yy^T/s^Ty.
+
+    Damping (Powell): if s^Ty < 0.2 s^TBs, blend y toward Bs so the
+    update stays positive semidefinite even on nonconvex stretches —
+    exactly the reference's damped update (gait_optimizer.cpp:541-561).
+    Degenerate pairs (|s| ~ 0 or s^Ty ~ 0 with no curvature yet) leave B
+    unchanged.
+    """
+    sBs = s @ B @ s
+    sy = s @ y
+    tau = jnp.where(sy < 0.2 * sBs,
+                    0.8 * sBs / jnp.maximum(sBs - sy, 1e-12), 1.0)
+    y_d = tau * y + (1.0 - tau) * (B @ s)
+    sy_d = s @ y_d
+    Bs = B @ s
+    upd = (B
+           - jnp.where(sBs > 1e-12, 1.0, 0.0)
+           * jnp.outer(Bs, Bs) / jnp.maximum(sBs, 1e-12)
+           + jnp.outer(y_d, y_d) / jnp.maximum(sy_d, 1e-12))
+    good = (jnp.sum(s * s) > 1e-12) & (sy_d > 1e-12) \
+        & jnp.all(jnp.isfinite(upd))
+    return jnp.where(good, upd, B)
+
+
 class GaitOptResult(NamedTuple):
     state: solver_mod.SolverState
     alpha: jax.Array
@@ -204,6 +263,8 @@ class GaitOptResult(NamedTuple):
     # REPLACES one inner solve — reference phase (b) "solve + derivatives",
     # controllers/mpc_controller.cpp:518-573); None from plain line_search
     rti_stats: "solver_mod.SolveStats | None" = None
+    # damped-BFGS curvature carry (cfg.gait_bfgs); None when disabled
+    curv: "OuterCurvature | None" = None
 
 
 @highest_matmul_precision
@@ -364,7 +425,8 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
                     t0: jax.Array, ee_pos0: jax.Array,
                     x_des_tan: jax.Array,
                     trust: jax.Array | float | None = None,
-                    ls_axis_name: str | None = None) -> GaitOptResult:
+                    ls_axis_name: str | None = None,
+                    curv: OuterCurvature | None = None) -> GaitOptResult:
     """One full bilevel update, REPLACING one inner RTI: production solve
     (captured) -> IFT gradient at that solution -> projection QP -> paid
     line-search lanes -> trust-region acceptance.
@@ -407,8 +469,28 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
     g = jnp.where(stats.solved & jnp.all(jnp.isfinite(g)), g,
                   jnp.zeros_like(g))
 
+    # ---- damped-BFGS outer curvature (cfg.gait_bfgs, reference's disabled
+    # escalation path gait_optimizer.cpp:541-561) --------------------------
+    Bk = None
+    theta_now = st1.traj.sched.bounds.reshape(-1)
+    g_flat = g.reshape(-1)
+    if cfg.gait_bfgs and curv is not None:
+        # a window roll or flight hold re-indexes/translates the bounds
+        # array between ticks, making (theta_now - theta_prev) meaningless;
+        # the past boundary theta[0] is pinned by the step QP, so any
+        # change there flags a re-index -> drop the stale pair
+        E_, P1_ = st1.traj.sched.bounds.shape
+        aligned = curv.ok & jnp.all(
+            jnp.abs(curv.theta.reshape(E_, P1_)[:, 0]
+                    - st1.traj.sched.bounds[:, 0]) < 1e-6)
+        s_vec = theta_now - curv.theta
+        y_vec = g_flat - curv.g
+        B_new = jnp.where(aligned,
+                          _bfgs_update(curv.B, s_vec, y_vec), curv.B)
+        Bk = B_new
     # ---- projected step + line-search lanes ------------------------------
-    d = contact_time_step(cfg, st1.traj.sched, g, t0, trust=trust_in)
+    d = contact_time_step(cfg, st1.traj.sched, g, t0, trust=trust_in,
+                          Bk=Bk)
     win_alpha, win_obj, win_sol, cost0 = _lane_search(
         cfg, params, st1, d, x0_man, t0, ee_pos0, x_des_tan,
         axis_name=ls_axis_name)
@@ -429,6 +511,11 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
     # Taylor-model test (gait_optimizer.cpp:199-211).
     g_n = g / jnp.maximum(1.0, jnp.max(jnp.abs(g)))
     pred = -win_alpha * jnp.sum(g_n * d)          # > 0 for a descent step
+    if Bk is not None:
+        # quadratic model: pred = -(a g_n.d + a^2/2 d^T (Bk/c) d)
+        c_sc = jnp.maximum(1.0, jnp.max(jnp.abs(g)))
+        df = d.reshape(-1)
+        pred = pred - 0.5 * win_alpha ** 2 * (df @ Bk @ df) / c_sc
     actual = cost0 - win_obj
     tiny = jnp.asarray(100 * jnp.finfo(dtype).eps, dtype)
     ratio = actual / jnp.maximum(pred, tiny)
@@ -476,9 +563,16 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
         grow, jnp.minimum(trust_in * cfg.tr_grow, cfg.trust_region),
         jnp.where(accepted, trust_in,
                   jnp.maximum(trust_in * cfg.tr_shrink, cfg.tr_min)))
+    curv_new = None
+    if cfg.gait_bfgs and curv is not None:
+        # carry: curvature + THIS tick's evaluation point (theta_now, g) —
+        # the next tick's s/y pair spans consecutive gradient evaluations
+        curv_new = OuterCurvature(B=Bk, theta=theta_now, g=g_flat,
+                                  ok=stats.solved
+                                  & jnp.all(jnp.isfinite(g_flat)))
     return GaitOptResult(
         state=new_state,
         alpha=jnp.where(accepted, win_alpha, 0.0),
         cost=jnp.where(accepted, win_obj, cost0),
         grad_norm=jnp.linalg.norm(d), cost0=cost0, trust=trust_new,
-        accepted=accepted, rti_stats=stats)
+        accepted=accepted, rti_stats=stats, curv=curv_new)

@@ -155,7 +155,7 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
             traj.f_nodes, traj.footholds, n_past)
         traj = Trajectory(x_man=traj.x_man, f_nodes=f_nodes,
                           footholds=footholds, sched=sched)
-        if state.qp_warm is not None:
+        if cfg.warm_roll and state.qp_warm is not None:
             # keep the carried warm start slot-aligned with the roll
             state = dataclasses.replace(
                 state, qp_warm=_roll_warm(cfg, state.qp_warm, n_past))

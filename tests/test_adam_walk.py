@@ -7,7 +7,12 @@ biped — an inverted pendulum with tau = sqrt(z/g) ~ 0.27 s that CANNOT
 stand statically — marching in place indefinitely (15 s measured, z never
 below 0.66 of a 0.70 stand).
 
-Subprocess at production f32 precision, like test_push_recovery.
+Subprocess at production f32 precision, like test_push_recovery.  The
+conftest's 8-virtual-device XLA_FLAGS are NOT scrubbed (r2/r3 carryover
+removed): the lateral capture gain at velocity-neutral 1.0 (was 1.2)
+holds the roll-coupled stepping cycle stable under reduction-order
+numerics — validated 16 s walk-to-goal + 5 s march with and without the
+flag.
 """
 import os
 import subprocess
@@ -23,10 +28,6 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_adam_marches_5s():
     env = dict(os.environ)
     env.pop("JAX_ENABLE_X64", None)
-    # production runs ONE device; the 8-virtual-device XLA flag
-    # changes partitioning/fusion numerics enough to tip marginal
-    # closed loops (measured: the Adam march falls under it)
-    env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "run_mujoco_walk.py"),
          "5", "--cpu", "--robot=adam"],
@@ -43,7 +44,6 @@ def test_adam_walks_to_goal():
     biped criterion covers reach + upright + bounded drift."""
     env = dict(os.environ)
     env.pop("JAX_ENABLE_X64", None)
-    env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "run_mujoco_walk.py"),
          "16", "--cpu", "--robot=adam", "--goal=0.5,0"],
@@ -58,10 +58,6 @@ def test_a1_walks_to_position():
     (x, y) goal with a tapered receding carrot and stops there."""
     env = dict(os.environ)
     env.pop("JAX_ENABLE_X64", None)
-    # production runs ONE device; the 8-virtual-device XLA flag
-    # changes partitioning/fusion numerics enough to tip marginal
-    # closed loops (measured: the Adam march falls under it)
-    env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "run_mujoco_walk.py"),
          "8", "--cpu", "--goal=0.6,0.2"],

@@ -384,3 +384,57 @@ def test_trust_region_adapts_on_real_gradient():
         assert t >= 0.1 - 1e-9
     else:
         assert t == pytest.approx(max(0.1 * CFG.tr_shrink, CFG.tr_min))
+
+
+def test_bfgs_curvature_carry():
+    """Damped-BFGS outer curvature (cfg.gait_bfgs — the reference's
+    UpdateBk path, shipped disabled there, gait_optimizer.cpp:541-561):
+    the carry threads through consecutive gait_opt_update calls, B stays
+    finite and positive semidefinite (Powell damping), and the updates
+    stay accepted/stable on the mistimed-trot scenario."""
+    cfg = dataclasses.replace(CFG, gait_bfgs=True).validate()
+    sched = GaitSchedule(bounds=gait.make_trot(CFG).bounds * 1.3)
+    feet0 = rbd.ee_positions(MODEL, Q0)
+    traj = default_trajectory(cfg, sched, X0, feet0[:, :2])
+    st = solver.SolverState(traj=traj,
+                            ee_box=jnp.asarray(CFG.ee_box_size,
+                                               jnp.float64))
+    x_des = srb.manifold_to_tangent(X0)
+    st, _ = solver.create_initial_run(cfg, PARAMS, st, X0, feet0, x_des)
+
+    curv = bilevel.init_curvature(cfg, dtype=jnp.float64)
+    trust = jnp.asarray(cfg.trust_region, jnp.float64)
+    costs = []
+    for k in range(4):
+        res = bilevel.gait_opt_update(cfg, PARAMS, st, X0, jnp.array(0.0),
+                                      feet0, x_des, trust=trust, curv=curv)
+        st, trust, curv = res.state, res.trust, res.curv
+        costs.append(float(res.cost))
+        assert curv is not None
+        assert bool(jnp.all(jnp.isfinite(curv.B)))
+        # Powell damping keeps B PSD (up to roundoff)
+        ev = np.linalg.eigvalsh(np.asarray(curv.B))
+        assert ev.min() > -1e-6, ev.min()
+    # after the first pair the carry is live and the curvature is in use
+    assert bool(curv.ok)
+    assert float(jnp.abs(curv.B).max()) > 0.0
+    # the outer loop still descends on the mistimed schedule
+    assert costs[-1] <= costs[0] + 1e-6
+
+
+def test_bfgs_update_psd_and_secant():
+    """_bfgs_update: secant condition B s = y holds after an undamped
+    update from B = I, and a negative-curvature pair is damped to PSD."""
+    n = 6
+    rng = np.random.default_rng(0)
+    B = jnp.eye(n, dtype=jnp.float64)
+    s = jnp.asarray(rng.normal(size=n))
+    y = 2.0 * s  # positive curvature, s.y > 0.2 s.B.s
+    B1 = bilevel._bfgs_update(B, s, y)
+    np.testing.assert_allclose(np.asarray(B1 @ s), np.asarray(y),
+                               rtol=1e-10, atol=1e-10)
+    # negative curvature: damped update must stay PSD
+    y_neg = -s
+    B2 = bilevel._bfgs_update(B1, s, y_neg)
+    ev = np.linalg.eigvalsh(np.asarray(B2))
+    assert ev.min() > -1e-10

@@ -203,7 +203,14 @@ print("RESULT " + json.dumps({
     "finite": bool(np.all(np.isfinite(q)))}))
 '''
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
+    # the engine is the DEVICE-side production loop: deployment runs it on
+    # one TPU chip, so the contract under test is the single-device
+    # compilation (like the f32 pin above).  Under the suite's 8-virtual-
+    # device host flag the same rollout diverges (reduction-order
+    # numerics); the MuJoCo parity loops carry margin for that and run
+    # de-scrubbed (test_adam_walk, test_push_recovery) — the engine's
+    # margin work is tracked in PARITY.md.
+    env["XLA_FLAGS"] = ""
     out = subprocess.run([sys.executable, "-c", script, repo],
                          capture_output=True, text=True, timeout=1500,
                          env=env)
@@ -255,7 +262,13 @@ q0 = engine.settled_stand(model, sim, jnp.asarray(a1.stand_config(), dtype))
 params = srb.make_srb_params(model, q0)
 x0 = mpc_controller.reconstruct_srb_state(model, params, q0, jnp.zeros(model.nv, dtype))
 feet0 = rbd.ee_positions(model, q0).astype(dtype)
-traj = default_trajectory(cfg, gait.make_trot(cfg), x0, feet0[:, :2])
+# MISTIMED trot (every phase stretched 1.25x): a well-timed nominal
+# trot gives the optimizer nothing to fix, and the r4 acceptance gates
+# (cold alpha=0 lane + converged-RTI sanity floor) then correctly reject
+# every candidate (measured dlen ~ 5e-7); the contract under test is that
+# the optimizer moves MISTIMED contact times while the robot stays up.
+sched0 = gait.GaitSchedule(bounds=gait.make_trot(cfg).bounds * 1.25)
+traj = default_trajectory(cfg, sched0, x0, feet0[:, :2])
 bounds0 = np.asarray(traj.sched.bounds)
 st = solver.make_state(cfg, traj, jnp.asarray(cfg.ee_box_size, dtype))
 x_des = srb.manifold_to_tangent(x0)
@@ -281,7 +294,14 @@ print("RESULT " + json.dumps({
     "finite": bool(np.all(np.isfinite(q)))}))
 '''
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
+    # the engine is the DEVICE-side production loop: deployment runs it on
+    # one TPU chip, so the contract under test is the single-device
+    # compilation (like the f32 pin above).  Under the suite's 8-virtual-
+    # device host flag the same rollout diverges (reduction-order
+    # numerics); the MuJoCo parity loops carry margin for that and run
+    # de-scrubbed (test_adam_walk, test_push_recovery) — the engine's
+    # margin work is tracked in PARITY.md.
+    env["XLA_FLAGS"] = ""
     out = subprocess.run([sys.executable, "-c", script, repo],
                          capture_output=True, text=True, timeout=1500,
                          env=env)
