@@ -95,6 +95,57 @@ def _chol_inverse(M):
     return _chol_solve(L, eye)
 
 
+def _schur_inverse(M, base: int = 32):
+    """SPD inverse via recursive 2x2 Schur-complement blocks — GEMMs only
+    above the base case.
+
+    The Cholesky path (`_chol_inverse`) is ~95% batched custom-call
+    latency on TPU at this problem size (n = 232: the Cholesky + two
+    triangular passes are sequential panel algorithms the MXU cannot
+    tile, measured 22 ms per exact sweep at batch 128 vs ~1 ms of GEMM
+    math).  Writing the inverse as
+
+        [[A, B], [B^T, C]]^-1 = [[Ai + W S^-1 W^T, -W S^-1],
+                                 [-S^-1 W^T,       S^-1     ]],
+        W = Ai B,  S = C - B^T W   (SPD Schur complement)
+
+    and recursing on A and S turns all O(n^3) work into MXU matmuls; only
+    the <= `base`-sized leaves use the Cholesky custom call (tiny, and
+    XLA batches them).
+
+    STATUS: EXPERIMENTAL, not production (`solve(inverse="chol")` is the
+    default).  Measured r4: with one top-level Newton-Schulz polish the
+    residual matches `_chol_inverse` on W-dominated mid/late-IPM KKT
+    matrices up to kappa ~1e8 (6e-5 vs 2.5e-4 at 1e±4, 3.9e-3 vs 3.0e-3
+    at 1e±6) — but on the near-singular pure-H matrices (the Mehrotra
+    init M0 and the inactive subspace of late-iteration M, lambda_min
+    ~1e-5 after equilibration) the recursion's intermediate Schur
+    complements go numerically indefinite in f32 and the leaf Cholesky
+    NaNs, poisoning the solve from iteration 0.  A working scheme needs a
+    shifted recursion + NS deflation of the shift, whose iteration count
+    scales with delta/lambda_min — parked until that is engineered.
+    Kept because the win is large when it applies: the exact refresh is
+    ~95% batched-Cholesky custom-call latency (22 ms/sweep at batch 128
+    vs ~1 ms of GEMM math).
+    """
+    n = M.shape[-1]
+    if n <= base:
+        return _chol_inverse(M)
+    k = ((n + 1) // 2 + 7) & ~7        # split at a multiple of 8 (VPU lane)
+    k = min(k, n - 1)
+    A = M[..., :k, :k]
+    B = M[..., :k, k:]
+    C = M[..., k:, k:]
+    Ai = _schur_inverse(A, base)
+    W = Ai @ B                          # [k, n-k]
+    S = C - B.transpose(-1, -2) @ W     # Schur complement, SPD
+    Si = _schur_inverse(S, base)
+    WSi = W @ Si
+    TL = Ai + WSi @ W.transpose(-1, -2)
+    out = jnp.block([[TL, -WSi], [-WSi.transpose(-1, -2), Si]])
+    return out
+
+
 def _ns_refresh(X, M, steps: int = 2):
     """Newton-Schulz inverse tracking: X <- X (2I - M X).
 
@@ -265,7 +316,7 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
           G: jax.Array, h: jax.Array, *, iters: int = 25,
           tol: float = 1e-9, reg: float = 1e-8,
           refine_steps: int = 1, exact_every: int = 1, ns_steps: int = 2,
-          use_pallas: bool | None = None,
+          use_pallas: bool | None = None, inverse: str = "chol",
           warm: QPSolution | None = None) -> QPSolution:
     """Mehrotra predictor-corrector interior point, fixed ``iters`` sweeps.
 
@@ -297,7 +348,7 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
         sol = _solve_impl(Hs, qs, As, bs, Gs, hs, iters=iters, tol=tol,
                           reg=reg, refine_steps=refine_steps, warm=warm_s,
                           exact_every=exact_every, ns_steps=ns_steps,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, inverse=inverse)
         x = d * sol.x
         y = e_a * sol.y
         lam = e_g * sol.lam
@@ -328,7 +379,7 @@ def solve(H: jax.Array, q: jax.Array, A: jax.Array, b: jax.Array,
 
 def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
                 warm=None, exact_every: int = 1, ns_steps: int = 2,
-                use_pallas: bool = False):
+                use_pallas: bool = False, inverse: str = "chol"):
     # dtype-aware floors: f32 needs ~50*eps regularization and a tighter
     # complementarity-ratio clamp to keep the Cholesky finite
     eps = float(jnp.finfo(q.dtype).eps)
@@ -400,8 +451,15 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
 
     # Mehrotra-style starting point: solve the equality-constrained QP
     # (inequalities ignored), then shift slacks/duals strictly interior.
+    if inverse == "schur":
+        def inv(M):
+            # one NS polish squares the recursion's residual (measured
+            # 7.7e-3 -> ~6e-5 on a kappa 1e6 late-IPM matrix) for 2 GEMMs
+            return _ns_refresh(_schur_inverse(M), M, steps=1)
+    else:
+        inv = _chol_inverse
     M0 = H + jnp.maximum(reg, 1e-8) * jnp.eye(n, dtype=dtype)
-    Mi0 = _chol_inverse(M0)
+    Mi0 = inv(M0)
     S0 = A @ (Mi0 @ A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(
         p, dtype=dtype)
     Si0 = _chol_inverse(S0)
@@ -464,7 +522,7 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
         M = H + G.T @ Gw + reg * jnp.eye(n, dtype=dtype)
         Mi = jax.lax.cond(
             exact,
-            lambda op: _chol_inverse(op[0]),
+            lambda op: inv(op[0]),
             lambda op: _ns_refresh(op[1], op[0], ns_steps),
             (M, Mi_prev))
         x, y, lam, s, new_done, it, best = _iteration_math(

@@ -177,3 +177,25 @@ def test_warm_problem_large_batch_shapes():
     sols = jax.vmap(lambda *a: pdip.solve(*a, iters=35))(Hs, qs, As, bs, Gs, hs)
     assert np.all(np.isfinite(np.asarray(sols.x)))
     assert np.all(np.asarray(sols.gap) < 1e-5)
+
+
+def test_schur_inverse_matches_chol_on_ipm_matrices():
+    """`_schur_inverse` (+1 NS polish) matches `_chol_inverse` residuals on
+    W-dominated IPM KKT matrices (the experimental `inverse="schur"` path;
+    see its docstring for why it is NOT production: near-singular pure-H
+    matrices NaN the recursion)."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    n, m = 96, 256
+    Gm = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(n), jnp.float32)
+    H = jnp.eye(n, dtype=jnp.float32)
+    eye = jnp.eye(n, dtype=jnp.float32)
+    for wexp in (1.0, 3.0, 4.0):
+        w = jnp.asarray(10.0 ** rng.uniform(-wexp, wexp, m), jnp.float32)
+        M = H + (Gm.T * w[None, :]) @ Gm + 1e-5 * eye
+        Ms = pdip._ns_refresh(pdip._schur_inverse(M), M, 1)
+        Mc = pdip._chol_inverse(M)
+        rs = float(jnp.abs(M @ Ms - eye).max())
+        rc = float(jnp.abs(M @ Mc - eye).max())
+        assert np.isfinite(rs), wexp
+        assert rs < 20 * max(rc, 1e-6), (wexp, rs, rc)
