@@ -113,20 +113,12 @@ def _schur_inverse(M, base: int = 32):
     the <= `base`-sized leaves use the Cholesky custom call (tiny, and
     XLA batches them).
 
-    STATUS: EXPERIMENTAL, not production (`solve(inverse="chol")` is the
-    default).  Measured r4: with one top-level Newton-Schulz polish the
-    residual matches `_chol_inverse` on W-dominated mid/late-IPM KKT
-    matrices up to kappa ~1e8 (6e-5 vs 2.5e-4 at 1e±4, 3.9e-3 vs 3.0e-3
-    at 1e±6) — but on the near-singular pure-H matrices (the Mehrotra
-    init M0 and the inactive subspace of late-iteration M, lambda_min
-    ~1e-5 after equilibration) the recursion's intermediate Schur
-    complements go numerically indefinite in f32 and the leaf Cholesky
-    NaNs, poisoning the solve from iteration 0.  A working scheme needs a
-    shifted recursion + NS deflation of the shift, whose iteration count
-    scales with delta/lambda_min — parked until that is engineered.
-    Kept because the win is large when it applies: the exact refresh is
-    ~95% batched-Cholesky custom-call latency (22 ms/sweep at batch 128
-    vs ~1 ms of GEMM math).
+    RAW RECURSION CAVEAT: on near-singular matrices (lambda_min ~1e-5
+    after equilibration — the Mehrotra init M0, the inactive subspace of
+    late-iteration M) the intermediate Schur complements go numerically
+    indefinite in f32 and the leaf Cholesky NaNs.  Production therefore
+    uses :func:`_shifted_schur_inverse`, which regularizes the recursion
+    and deflates the shift with Newton-Schulz — see there.
     """
     n = M.shape[-1]
     if n <= base:
@@ -144,6 +136,42 @@ def _schur_inverse(M, base: int = 32):
     TL = Ai + WSi @ W.transpose(-1, -2)
     out = jnp.block([[TL, -WSi], [-WSi.transpose(-1, -2), Si]])
     return out
+
+
+def _shifted_schur_inverse(M, delta: float = 1e-3, ns: int = 14):
+    """GEMM-only SPD inverse robust to near-singularity: recursive Schur
+    on the SHIFTED matrix M + delta I (the shift lifts every intermediate
+    Schur complement to lambda_min >= delta, so the f32 recursion never
+    goes indefinite), then Newton-Schulz deflation of the shift,
+    X <- X (2I - M X), whose initial residual is delta/(delta+lambda_min)
+    < 1 ALWAYS and squares per step.
+
+    Measured on real equilibrated IPM KKT matrices (r4, f32, n=232):
+    matches or beats `_chol_inverse` residuals across the spectrum — the
+    near-singular pure-H init matrix 3.1e-2 vs chol 3.1e-2 (both floored
+    by kappa*eps), W-dominated 1e±4: 1.2e-4 vs 2.5e-4, 1e±6: 2.3e-3 vs
+    3.0e-3 — where the UNSHIFTED recursion NaNs.  Cost: the recursion's
+    GEMMs + 2*ns GEMMs, all MXU work, vs a batched Cholesky + two
+    triangular passes of custom-call latency (~95% of a 22 ms exact sweep
+    at batch 128).  `delta`/`ns` trade accuracy for GEMMs: residual after
+    deflation ~ (delta/(delta+lambda_min))^(2^k) until the kappa*eps
+    floor; delta 1e-3 with ns 14 covers lambda_min >= 1e-6.
+
+    STATUS: EXPERIMENTAL — measured NOT faster on the TPU (r4): a
+    batch-128 10-exact-sweep solve runs ~122 ms vs ~96 ms for the
+    Cholesky path in-cadence.  The recursion's many small, odd-shaped
+    GEMMs (232 -> 120 -> 64 splits, unaligned to the 128-lane MXU tiles)
+    plus 28 deflation GEMMs per refresh waste the MXU as badly as the
+    batched-Cholesky custom call they replace.  A competitive version
+    needs 128-aligned splits and a fused Pallas GEMM chain; parked with
+    the numerics validated (test_pdip).
+    """
+    n = M.shape[-1]
+    I = jnp.eye(n, dtype=M.dtype)
+    X = _schur_inverse(M + delta * I)
+    for _ in range(ns):
+        X = X @ (2.0 * I - M @ X)
+    return X
 
 
 def _ns_refresh(X, M, steps: int = 2):
@@ -451,13 +479,7 @@ def _solve_impl(H, q, A, b, G, h, *, iters, tol, reg, refine_steps,
 
     # Mehrotra-style starting point: solve the equality-constrained QP
     # (inequalities ignored), then shift slacks/duals strictly interior.
-    if inverse == "schur":
-        def inv(M):
-            # one NS polish squares the recursion's residual (measured
-            # 7.7e-3 -> ~6e-5 on a kappa 1e6 late-IPM matrix) for 2 GEMMs
-            return _ns_refresh(_schur_inverse(M), M, steps=1)
-    else:
-        inv = _chol_inverse
+    inv = _shifted_schur_inverse if inverse == "schur" else _chol_inverse
     M0 = H + jnp.maximum(reg, 1e-8) * jnp.eye(n, dtype=dtype)
     Mi0 = inv(M0)
     S0 = A @ (Mi0 @ A.T) + jnp.maximum(reg, 1e-7) * jnp.eye(

@@ -182,18 +182,20 @@ def test_warm_problem_large_batch_shapes():
 def test_schur_inverse_matches_chol_on_ipm_matrices():
     """`_schur_inverse` (+1 NS polish) matches `_chol_inverse` residuals on
     W-dominated IPM KKT matrices (the experimental `inverse="schur"` path;
-    see its docstring for why it is NOT production: near-singular pure-H
-    matrices NaN the recursion)."""
+    uses the SHIFTED recursion + NS deflation, robust to near-singular
+    matrices where the raw recursion NaNs; parked — measured slower on
+    TPU, see its docstring)."""
     import numpy as np
     rng = np.random.default_rng(3)
     n, m = 96, 256
     Gm = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(n), jnp.float32)
     H = jnp.eye(n, dtype=jnp.float32)
     eye = jnp.eye(n, dtype=jnp.float32)
-    for wexp in (1.0, 3.0, 4.0):
+    # 0.0 exercises the near-singular pure-H-like case (lambda_min 1e-5)
+    for wexp in (0.0, 1.0, 3.0, 4.0):
         w = jnp.asarray(10.0 ** rng.uniform(-wexp, wexp, m), jnp.float32)
         M = H + (Gm.T * w[None, :]) @ Gm + 1e-5 * eye
-        Ms = pdip._ns_refresh(pdip._schur_inverse(M), M, 1)
+        Ms = pdip._shifted_schur_inverse(M)
         Mc = pdip._chol_inverse(M)
         rs = float(jnp.abs(M @ Ms - eye).max())
         rc = float(jnp.abs(M @ Mc - eye).max())
