@@ -173,8 +173,10 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
 
     mpc_step = jax.jit(lambda st, x, t, ee, xd: solver.solve_step(
         cfg, params, st, x, t, ee, xd))
-    gopt = jax.jit(lambda st, x, t, ee, xd, tr: bilevel.gait_opt_update(
-        cfg, params, st, x, t, ee, xd, trust=tr))
+    # cfg.gait_bfgs: thread the damped-BFGS curvature carry through gait
+    # ticks (the reference's disabled escalation path, see mpc/bilevel.py)
+    gopt = jax.jit(lambda st, x, t, ee, xd, tr, cv: bilevel.gait_opt_update(
+        cfg, params, st, x, t, ee, xd, trust=tr, curv=cv))
     ctrl = jax.jit(lambda tr, q, v, t, t0, mc: mpc_controller.control_action(
         model, params, cfg, wb_cfg, tr, q, v, t, t0, mc))
 
@@ -264,7 +266,9 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
               "standing": False, "arrived_t": -1.0, "costs": [],
               "mpc_ms": 0.0, "ctrl_ms": 0.0, "n_ctrl": 0,
               "slip": 0.0, "flight_s": 0.0, "flight_run": 0.0,
-              "v_int": np.zeros(2)}
+              "v_int": np.zeros(2),
+              "curv": (bilevel.init_curvature(cfg, dtype)
+                       if cfg.gait_bfgs else None)}
 
     def control_fn(q, v, t):
         qj = jnp.asarray(q, dtype)
@@ -299,9 +303,10 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
                 # gait_opt_update embeds the production RTI, replacing
                 # solve_step on gait ticks (reference phase (b))
                 res = gopt(st_in, x_srb, jnp.asarray(t, dtype), feet, xd,
-                           holder["trust"])
+                           holder["trust"], holder["curv"])
                 st, stats = res.state, res.rti_stats
                 holder["trust"] = res.trust
+                holder["curv"] = res.curv
                 holder["accepts"] += int(bool(res.accepted))
             else:
                 st, stats = mpc_step(st_in, x_srb, jnp.asarray(t, dtype),
