@@ -140,3 +140,39 @@ def batched_initial_run(cfg: MPCConfig, params: SRBParams):
         return vrun(states, x0s, ee0s, x_des, jnp.asarray(t0))
 
     return batched
+
+
+def scenario_sharded_closed_loop(model, params, cfg: MPCConfig, wb_cfg,
+                                 sim, mesh: Mesh, *, n_ticks: int,
+                                 control_dt: float, mpc_every: int,
+                                 scenario_axis: str = "scenario"):
+    """The WHOLE closed loop — penalty physics + whole-body QP + MPC RTIs
+    (sim/engine.py::closed_loop) — sharded over scenarios on a device
+    mesh: a fleet of robots, one full control stack per scenario, zero
+    cross-scenario communication (pure data parallelism riding ICI
+    placement; the reference runs exactly ONE robot per process).
+
+    Returns a jitted f(states, q0s, v0s, x_des_tans) -> (states, SimLog)
+    with every argument/result batched on the leading scenario axis and
+    sharded over ``scenario_axis``.
+    """
+    import functools
+
+    from bilevel_gait_gen_tpu.sim import engine as engine_mod
+
+    try:
+        shard_map = functools.partial(jax.shard_map, check_vma=False)
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        shard_map = functools.partial(shard_map, check_rep=False)
+
+    def one(state, q0, v0, x_des_tan):
+        return engine_mod.closed_loop(
+            model, params, cfg, wb_cfg, sim, state, q0, v0, x_des_tan,
+            n_ticks=n_ticks, control_dt=control_dt, mpc_every=mpc_every)
+
+    vloop = jax.vmap(one, in_axes=(0, 0, 0, 0))
+    sharded = shard_map(vloop, mesh=mesh,
+                        in_specs=(P(scenario_axis),) * 4,
+                        out_specs=P(scenario_axis))
+    return jax.jit(sharded)

@@ -121,3 +121,54 @@ def test_multihost_two_processes():
                          capture_output=True, text=True)
     assert out.returncode == 0, (out.stdout, out.stderr)
     assert "MULTIHOST OK" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_scenario_sharded_closed_loop_matches_unsharded(setup):
+    """The FULL closed loop (penalty physics + WBQP + MPC) sharded over
+    scenarios on the 8-device mesh produces the same rollouts as the
+    plain vmapped loop — the fleet-of-robots data-parallel story end to
+    end, not just the solver batch."""
+    from bilevel_gait_gen_tpu.control import wbqp as wbqp_mod
+    from bilevel_gait_gen_tpu.sim import engine as engine_mod
+
+    cfg, params, st, x0, feet0, x_des = setup
+    model = a1.make_a1()
+    wb_cfg = wbqp_mod.WBQPConfig()
+    sim = engine_mod.SimConfig()
+    B = 8
+    q0 = engine_mod.settled_stand(
+        model, sim, jnp.asarray(a1.stand_config(), jnp.float32))
+    # per-scenario initial-velocity perturbations
+    v0s = jnp.zeros((B, model.nv), jnp.float32).at[:, 0].set(
+        jnp.linspace(-0.1, 0.1, B))
+    q0s = jnp.stack([q0] * B)
+    sts = jax.tree.map(lambda a: jnp.stack([a] * B), st)
+    xds = jnp.stack([x_des] * B)
+
+    n_ticks, control_dt, mpc_every = 40, 0.005, 20
+
+    vloop = jax.jit(jax.vmap(
+        lambda s, q, v, xd: engine_mod.closed_loop(
+            model, params, cfg, wb_cfg, sim, s, q, v, xd,
+            n_ticks=n_ticks, control_dt=control_dt, mpc_every=mpc_every),
+        in_axes=(0, 0, 0, 0)))
+    st_p, log_p = vloop(sts, q0s, v0s, xds)
+
+    mesh = mesh_mod.make_mesh()
+    sharded = mesh_mod.scenario_sharded_closed_loop(
+        model, params, cfg, wb_cfg, sim, mesh, n_ticks=n_ticks,
+        control_dt=control_dt, mpc_every=mpc_every)
+    st_s, log_s = sharded(sts, q0s, v0s, xds)
+
+    qs, qp = np.asarray(log_s.q), np.asarray(log_p.q)
+    assert np.all(np.isfinite(qs))
+    # the rollout is CHAOTIC (placement-dependent f32 reduction order
+    # amplifies through physics ticks — the same sensitivity the closed-
+    # loop robustness work hardens against), so sharded == unsharded can
+    # only be pinned on the early horizon; afterwards assert the sharded
+    # fleet stays physically sane scenario-by-scenario
+    np.testing.assert_allclose(qs[:, :10], qp[:, :10], rtol=0, atol=1e-3)
+    z0 = float(q0s[0, 2])
+    assert np.all(qs[:, :, 2].min(axis=1) > z0 - 0.05), \
+        qs[:, :, 2].min(axis=1)
+    assert np.all(np.abs(qs[:, -1, 0:2]) < 0.25)
