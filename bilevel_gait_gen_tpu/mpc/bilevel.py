@@ -59,7 +59,8 @@ def outer_gradient(cfg: MPCConfig, params: SRBParams, traj: Trajectory,
     derives its QP derivatives from the warm-started production solve,
     mpc/mpc.cpp:1047-1056)."""
     opts = (("iters", cfg.ipm_iters), ("tol", cfg.ipm_tol),
-            ("exact_every", cfg.ipm_exact_every if warm is not None else 1))
+            ("exact_every", cfg.ipm_exact_every if warm is not None else 1),
+            ("inverse", cfg.ipm_inverse))
 
     def outer_cost(bounds):
         traj_b = Trajectory(x_man=traj.x_man, f_nodes=traj.f_nodes,
@@ -95,7 +96,7 @@ def outer_gradient_at(cfg: MPCConfig, params: SRBParams, traj_lin: Trajectory,
     on ``sol`` and only the IFT adjoint runs.
     """
     opts = (("iters", cfg.ipm_grad_polish), ("tol", cfg.ipm_tol),
-            ("exact_every", 1))
+            ("exact_every", 1), ("inverse", cfg.ipm_inverse))
 
     def outer_cost(bounds):
         traj_b = dataclasses.replace(traj_lin,
@@ -394,7 +395,8 @@ def _lane_search(cfg: MPCConfig, params: SRBParams,
         qp = qp_mod.assemble(cfg, params, traj_a, x0_man, t0, ee_pos0,
                              x_des_tan, st1.ee_box)
         sol = pdip.solve(qp.H, qp.q, qp.A, qp.b, qp.G, qp.h, iters=iters,
-                         tol=cfg.ipm_tol, exact_every=cfg.ls_exact_every)
+                         tol=cfg.ipm_tol, exact_every=cfg.ls_exact_every,
+                         inverse=cfg.ipm_inverse)
         obj = 0.5 * sol.x @ qp.H @ sol.x + qp.q @ sol.x + qp.cost_const
         # same solve-quality gate as the RTI (solver.solve_step)
         scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(qp.q)), jnp.abs(obj))
@@ -485,8 +487,13 @@ def gait_opt_update(cfg: MPCConfig, params: SRBParams,
                     - st1.traj.sched.bounds[:, 0]) < 1e-6)
         s_vec = theta_now - curv.theta
         y_vec = g_flat - curv.g
+        # on misalignment the whole carried matrix is in the OLD slot frame
+        # (a window roll permutes/translates every boundary, not just the
+        # last pair) — reset it to zero rather than keep wrong-frame
+        # curvature shaping the projection QP (ADVICE r4 medium)
         B_new = jnp.where(aligned,
-                          _bfgs_update(curv.B, s_vec, y_vec), curv.B)
+                          _bfgs_update(curv.B, s_vec, y_vec),
+                          jnp.zeros_like(curv.B))
         Bk = B_new
     # ---- projected step + line-search lanes ------------------------------
     d = contact_time_step(cfg, st1.traj.sched, g, t0, trust=trust_in,

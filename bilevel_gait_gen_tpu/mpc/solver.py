@@ -164,7 +164,17 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
     qp = qp_mod.assemble(cfg, params, traj, x0_man, t0, ee_pos0,
                          x_des_tan, state.ee_box)
     # Newton-Schulz inverse tracking is only stable in the warm-started
-    # regime (slow W drift); cold-start solves use exact factorizations
+    # regime (slow W drift); cold-start solves use exact factorizations.
+    # The Armijo-reset SENTINEL (gap=inf, see the carry policy below) still
+    # runs with the cadence: gating on the traced sentinel would turn the
+    # scan's static exact/NS branch into a batched select under vmap,
+    # computing the exact Cholesky every NS iteration for the whole batch
+    # (ADVICE r4).  The cadenced cold restart's damage is bounded instead:
+    # the first two iterations always factorize exactly, a divergent NS
+    # refresh falls back to the stale finite inverse (pdip._solve_impl
+    # ns_branch) until the next cadence refresh, best-iterate tracking
+    # returns the best KKT-merit point, and a failed quality gate chains
+    # the iterate into the next solve as a REAL warm start.
     exact_every = cfg.ipm_exact_every if state.qp_warm is not None else 1
     if cfg.qp_backend == "admm":
         # OSQP-style backend (the reference's solver switch, mpc/mpc.cpp:
@@ -179,6 +189,7 @@ def solve_step(cfg: MPCConfig, params: SRBParams, state: SolverState,
                          exact_every=exact_every,
                          use_pallas=None if cfg.qp_kernel == "pallas"
                          else False,
+                         inverse=cfg.ipm_inverse,
                          warm=state.qp_warm)
 
     u_prev = ravel_u(traj.f_nodes, traj.footholds)

@@ -136,6 +136,8 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
                     debug: bool = False, flight_resync: bool = True,
                     flight_dwell: float = 0.0,
                     recede_target: float = 0.0,
+                    lowlevel_log: str | None = None,
+                    log_decimation: int = 10,
                     dtype=jnp.float32) -> ClosedLoopResult:
     """Run `seconds` of host-MuJoCo physics under the device controller.
 
@@ -150,6 +152,10 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
     standing MPC built from ``stand_cfg`` (default: cfg + force carrier).
     ``push``: ``(t_push, dvx)`` adds a forward base-velocity impulse at
     ``t_push`` seconds (reference distr-rejection demo shape).
+    ``lowlevel_log``: path for the decimated per-tick q/v/tau/GRF/contact
+    stream (QPControl::LogInfo + the hardware layer's decimated files,
+    qp_control.h:160-170, hardware_robot.cpp:183-186); every
+    ``log_decimation``-th control tick is recorded.
     """
     q0j = jnp.asarray(q0, dtype)
     v0j = jnp.asarray(v0, dtype)
@@ -182,6 +188,14 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
 
     # --- goal carrot + arrival standing MPC (built lazily on first use) ----
     tgt_xy = None
+    # constant COM-to-base xy offset at the start pose: the goal/arrival
+    # bookkeeping targets the SRB COM (x0), while MuJoCo logs the BASE
+    # LINK q[0:2] — comparing them raw biases the arrival gate by the
+    # standing COM offset (ADVICE r4; the old run_mujoco_walk loop carried
+    # a com_off_w slot for exactly this).  Yaw stays near zero in these
+    # walks, so the body-frame offset is constant in world frame.
+    com_off = np.asarray([float(x0[0]) - float(q0[0]),
+                          float(x0[1]) - float(q0[1])])
     if carrot is not None:
         tgt_xy = np.asarray([float(x0[0]) + carrot.goal[0],
                              float(x0[1]) + carrot.goal[1]])
@@ -261,6 +275,16 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
     loop = MujocoLoop(model, timestep=0.001)
     loop.set_state(np.asarray(q0, np.float64), np.asarray(v0, np.float64))
     import time as _time
+    llog = None
+    if lowlevel_log is not None:
+        from bilevel_gait_gen_tpu.utils import lowlevel_log as llog_mod
+        E = model.num_ee
+        llog = llog_mod.LowLevelLog(
+            lowlevel_log,
+            fields=[("t", 1), ("q", model.nq), ("v", model.nv),
+                    ("tau", model.num_joints), ("grf", 3 * E),
+                    ("contact", E)],
+            decimation=log_decimation)
     holder = {"state": state, "t0": 0.0, "n": 0, "fails": 0, "accepts": 0,
               "trust": jnp.asarray(cfg.trust_region, dtype),
               "standing": False, "arrived_t": -1.0, "costs": [],
@@ -374,7 +398,8 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
         # 1 kHz, not at MPC ticks.
         if (carrot is not None and carrot.stand_on_arrival
                 and not holder["standing"]):
-            err = float(np.hypot(q[0] - tgt_xy[0], q[1] - tgt_xy[1]))
+            err = float(np.hypot(q[0] + com_off[0] - tgt_xy[0],
+                                 q[1] + com_off[1] - tgt_xy[1]))
             spd = float(np.linalg.norm(np.asarray(v[0:2])))
             if (err < carrot.arrive_err and spd < carrot.arrive_speed
                     and bool(np.all(np.asarray(mc)))):
@@ -392,6 +417,12 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
                 holder["t0"] = t
                 holder["standing"] = True
                 holder["arrived_t"] = t
+                # drop flight slip accrued while walking: applying it to
+                # the freshly built standing schedule would shift it
+                # (slip accrual is gated off while standing, and the
+                # application must be too — ADVICE r4)
+                holder["slip"] = 0.0
+                holder["flight_run"] = 0.0
                 if debug:
                     print(f"  arrived (err {err:.3f} m) -> MPC stand "
                           f"at t={t:.2f}")
@@ -400,7 +431,13 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
                       jnp.asarray(holder["t0"], dtype), mc)
         holder["ctrl_ms"] += (_time.perf_counter() - tm) * 1e3
         holder["n_ctrl"] += 1
-        return np.asarray(tau)
+        tau_np = np.asarray(tau)
+        if llog is not None:
+            llog.record(t=np.asarray([t]), q=np.asarray(q),
+                        v=np.asarray(v), tau=tau_np,
+                        grf=loop.contact_forces().reshape(-1),
+                        contact=np.asarray(mc, np.float32))
+        return tau_np
 
     n_steps = int(seconds * 1000)
     if push is not None and 0 < push[0] < seconds:
@@ -418,6 +455,8 @@ def run_closed_loop(model: RobotModel, cfg: MPCConfig,
     else:
         qs, vs, taus = loop.run(control_fn, n_steps, control_decimation=1,
                                 viewer=viewer, realtime=realtime)
+    if llog is not None:
+        llog.close()
     return ClosedLoopResult(
         qs=qs, vs=vs, taus=taus, n_mpc=holder["n"],
         n_fails=holder["fails"], n_gait_accepts=holder["accepts"],

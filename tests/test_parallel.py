@@ -138,9 +138,12 @@ def test_scenario_sharded_closed_loop_matches_unsharded(setup):
     B = 8
     q0 = engine_mod.settled_stand(
         model, sim, jnp.asarray(a1.stand_config(), jnp.float32))
-    # per-scenario initial-velocity perturbations
+    # per-scenario initial-velocity perturbations (dtype pinned: the suite
+    # enables x64, and an f64 linspace scattered into f32 zeros is the
+    # "scatter inputs have incompatible types" FutureWarning — a hard
+    # error in future JAX)
     v0s = jnp.zeros((B, model.nv), jnp.float32).at[:, 0].set(
-        jnp.linspace(-0.1, 0.1, B))
+        jnp.linspace(-0.1, 0.1, B, dtype=jnp.float32))
     q0s = jnp.stack([q0] * B)
     sts = jax.tree.map(lambda a: jnp.stack([a] * B), st)
     xds = jnp.stack([x_des] * B)
@@ -162,13 +165,35 @@ def test_scenario_sharded_closed_loop_matches_unsharded(setup):
 
     qs, qp = np.asarray(log_s.q), np.asarray(log_p.q)
     assert np.all(np.isfinite(qs))
-    # the rollout is CHAOTIC (placement-dependent f32 reduction order
-    # amplifies through physics ticks — the same sensitivity the closed-
-    # loop robustness work hardens against), so sharded == unsharded can
-    # only be pinned on the early horizon; afterwards assert the sharded
-    # fleet stays physically sane scenario-by-scenario
-    np.testing.assert_allclose(qs[:, :10], qp[:, :10], rtol=0, atol=1e-3)
-    z0 = float(q0s[0, 2])
-    assert np.all(qs[:, :, 2].min(axis=1) > z0 - 0.05), \
-        qs[:, :, 2].min(axis=1)
+    # Tolerance contract (re-derived, VERDICT r4): bit-equality between the
+    # sharded and unsharded fleets is NOT guaranteed — the 8-way sharding
+    # lowers the batched solver ops differently than the single-device
+    # vmap (per-device batch 1 vs 8), so the f32 reduction order differs
+    # and each placement converges to a DIFFERENT valid IPM iterate within
+    # the solve-quality gate (gap/pri_res < 1e-3*scale, mpc/solver.py).
+    # Through the WBQP + 4-substep physics this perturbs joint angles by
+    # up to ~6e-3 rad within 10 ticks (measured 5.8e-3 max on this exact
+    # rollout).  Assert the early horizon at 2e-2 — covering two valid
+    # solves plus 50 ms of amplification with ~3x margin, while still
+    # catching real sharding bugs (wrong shard slicing or a dropped
+    # collective moves q by O(0.1-1)) — and the rest by physical sanity.
+    np.testing.assert_allclose(qs[:, :10], qp[:, :10], rtol=0, atol=2e-2)
+    # the tiny 6-node test MPC squats during the trot transient (z
+    # 0.29 -> ~0.14-0.20 in BOTH fleets — measured identical in the plain
+    # vmapped loop, scripts/debug_sharded_loop.py), so "stays near z0" is
+    # the wrong sanity bar; the right bars are "not fallen" plus the
+    # sharded fleet TRACKING the plain one scenario-by-scenario over the
+    # whole rollout
+    assert np.all(qs[:, :, 2].min(axis=1) > 0.10), qs[:, :, 2].min(axis=1)
     assert np.all(np.abs(qs[:, -1, 0:2]) < 0.25)
+    np.testing.assert_allclose(qs[:, :, 2].min(axis=1),
+                               qp[:, :, 2].min(axis=1), rtol=0, atol=2e-2)
+    # every MPC tick in the sharded fleet must actually solve
+    solved = np.asarray(log_s.solved)
+    cost = np.asarray(log_s.cost)
+    assert np.all(solved[np.isfinite(cost)])
+    # the sharded loop IS deterministic against itself (same placement,
+    # same lowering -> bitwise equal) — this is the reproducibility
+    # contract the old test conflated with cross-placement equality
+    st_s2, log_s2 = sharded(sts, q0s, v0s, xds)
+    np.testing.assert_array_equal(qs, np.asarray(log_s2.q))
