@@ -118,6 +118,10 @@ def assemble_centroidal(cfg: MPCConfig, model: RobotModel,
         return J[:, :, 6:].reshape(3 * E, nj), rhs
 
     J_blocks, rhs_blocks = jax.vmap(fk_rows)(jnp.arange(N))
+    # model constants (jacobians, velocity limits) may be f64 under x64;
+    # pin the QP to the state dtype so downstream scans stay type-stable
+    J_blocks = J_blocks.astype(dtype)
+    rhs_blocks = rhs_blocks.astype(dtype)
     # block-diagonal FK rows over nodes
     A_fk = jnp.zeros((N, 3 * E, N, nj), dtype)
     idx_k = jnp.arange(N)
@@ -135,7 +139,7 @@ def assemble_centroidal(cfg: MPCConfig, model: RobotModel,
 
     # ---- inequalities: base rows + velocity bounds (vel_bounds yaml) -----
     m0 = base.G.shape[0]
-    vb = jnp.tile(model.velocity_limit, (N,))
+    vb = jnp.tile(model.velocity_limit.astype(dtype), (N,))
     G = jnp.zeros((m0 + 2 * nv_blk, n), dtype)
     G = G.at[:m0, :n_s].set(base.G)
     G = G.at[m0:m0 + nv_blk, n_s:].set(jnp.eye(nv_blk, dtype=dtype))
@@ -155,3 +159,214 @@ def solve_centroidal(cqp: CentroidalQP, *, iters: int = 25,
     u = sol.x[:cqp.n_spline]
     vj = sol.x[cqp.n_spline:]
     return u, vj, sol
+
+
+# ----------------------------------------------------------------------------
+# Real-time-iteration loop for the centroidal variant (VERDICT r4 item 4:
+# promote the one-shot assembly to a full MPC — reference MPCCentroidal::
+# Solve, mpc/mpc_centroidal.cpp, same SQP skeleton as the SRB path)
+# ----------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CentroidalState:
+    """Warm-start carry of the centroidal RTI (the reference's prev_traj_/
+    prev_qp_sol_ for MPCCentroidal, mpc/include/mpc_centroidal.h:15-225)."""
+    traj: Trajectory
+    ee_box: jax.Array
+    configs: jax.Array                       # [N+1, nq] node configurations
+    qp_warm: "pdip.QPSolution | None" = None
+    vj: "jax.Array | None" = None            # [N, nj] last joint velocities
+
+
+def make_centroidal_state(cfg: MPCConfig, model: RobotModel,
+                          traj: Trajectory, ee_box: jax.Array,
+                          q0: jax.Array) -> CentroidalState:
+    """Fresh centroidal carry: node configs seeded with q0, zero joint
+    velocities (filled by the first solve)."""
+    N = cfg.num_nodes
+    return CentroidalState(
+        traj=traj, ee_box=ee_box,
+        configs=jnp.stack([q0] * (N + 1)),
+        vj=jnp.zeros((N, model.num_joints), ee_box.dtype))
+
+
+def ik_node_configs(model: RobotModel, cfg: MPCConfig, params: srb.SRBParams,
+                    traj: Trajectory, t0: jax.Array,
+                    q_guess: jax.Array) -> jax.Array:
+    """[N+1, nq] whole-body configurations along the trajectory via DLS IK
+    (the reference's Trajectory full-body config arrays, mpc/include/
+    trajectory.h:165-166, filled by IK from the SRB plan)."""
+    from bilevel_gait_gen_tpu.control import ik as ik_mod
+    from bilevel_gait_gen_tpu.ops import quat as quat_ops
+    N = cfg.num_nodes
+    dtype = q_guess.dtype
+    times = t0 + cfg.dt * jnp.arange(N + 1, dtype=dtype)
+
+    def one(x_man, t):
+        feet = spline.foot_positions_all(traj.sched.bounds, traj.footholds,
+                                         t, cfg.swing_height, cfg.foot_offset)
+        quat = quat_ops.normalize(x_man[6:10])
+        base_pos = x_man[0:3] - quat_ops.to_matrix(quat) @ params.com_offset
+        return ik_mod.solve_ik(model, base_pos, quat, feet, q_guess)
+
+    return jax.vmap(one)(traj.x_man, times)
+
+
+def _defect_l1_centroidal(cfg: MPCConfig, params: srb.SRBParams,
+                          Irs: jax.Array, xs_tan: jax.Array, f_nodes,
+                          footholds, bounds, t0) -> jax.Array:
+    """L1 nonlinear integration defect with the PER-NODE composite inertia
+    (the centroidal model's configuration-dependent Ir_k; merit analog of
+    solver._defect_l1 / reference GetEqualityConstraintValues)."""
+    dt = cfg.dt
+    times = t0 + dt * jnp.arange(cfg.num_nodes, dtype=xs_tan.dtype)
+    Ir_inv = jnp.linalg.inv(Irs)
+
+    def node_defect(k):
+        params_k = dataclasses.replace(params, inertia=Irs[k],
+                                       inertia_inv=Ir_inv[k])
+        x_next = srb.discrete_step(params_k, xs_tan[k], f_nodes, footholds,
+                                   bounds, times[k], dt, cfg)
+        return xs_tan[k + 1] - x_next
+
+    d = jax.vmap(node_defect)(jnp.arange(cfg.num_nodes))
+    return jnp.sum(jnp.abs(d))
+
+
+def solve_centroidal_step(cfg: MPCConfig, model: RobotModel,
+                          params: srb.SRBParams, state: CentroidalState,
+                          x0_man: jax.Array, t0: jax.Array,
+                          ee_pos0: jax.Array, x_des_tan: jax.Array,
+                          shift_window: bool = True):
+    """One centroidal real-time iteration: window shift, node IK,
+    per-node-inertia relinearization, QP (splines + joint velocities under
+    FK rows), L1-merit Armijo line search, convex update, quality gate —
+    the MPCCentroidal::Solve loop (mpc/mpc_centroidal.cpp) on the same
+    RTI skeleton as mpc/solver.py::solve_step.
+
+    Returns (CentroidalState, solver.SolveStats).
+    """
+    from bilevel_gait_gen_tpu.mpc import gait as gait_mod
+    from bilevel_gait_gen_tpu.mpc import solver as solver_mod
+    from bilevel_gait_gen_tpu.mpc.trajectory import make_unravel
+
+    traj = state.traj
+    unravel = make_unravel(cfg)
+    dtype = x0_man.dtype
+    N = cfg.num_nodes
+    nj = model.num_joints
+
+    if shift_window:
+        n_past = gait_mod.past_cycles(traj.sched, t0)
+        sched = gait_mod.advance_window(traj.sched, t0, cfg)
+        f_nodes, footholds = gait_mod.roll_spline_vars(
+            traj.f_nodes, traj.footholds, n_past)
+        traj = Trajectory(x_man=traj.x_man, f_nodes=f_nodes,
+                          footholds=footholds, sched=sched)
+
+    # node configurations by IK from the (shifted) plan — the linearization
+    # point for the composite inertia and the FK rows
+    configs = ik_node_configs(model, cfg, params, traj, t0,
+                              state.configs[0])
+    Irs = node_inertias(model, configs)
+
+    cqp = assemble_centroidal(cfg, model, params, traj, configs, x0_man,
+                              t0, ee_pos0, x_des_tan, state.ee_box)
+    sol = pdip.solve(cqp.H, cqp.q, cqp.A, cqp.b, cqp.G, cqp.h,
+                     iters=cfg.ipm_iters, tol=cfg.ipm_tol,
+                     warm=state.qp_warm)
+
+    n_s = cqp.n_spline
+    u_prev = ravel_u(traj.f_nodes, traj.footholds)
+    xs_prev = jax.vmap(srb.manifold_to_tangent)(traj.x_man)
+    u_star = sol.x[:n_s]
+    vj_star = sol.x[n_s:].reshape(N, nj)
+    xs_star = qp_mod.recover_states(cqp.base, u_star)
+    p_u = u_star - u_prev
+    p_x = xs_star - xs_prev
+
+    # merit line search on the per-node-inertia defect (same Armijo policy
+    # as the SRB RTI)
+    mu = jnp.asarray(cfg.merit_mu, dtype)
+
+    def merit_at(alpha):
+        u_a = u_prev + alpha * p_u
+        xs_a = xs_prev + alpha * p_x
+        fn_a, fh_a = unravel(u_a)
+        defect = _defect_l1_centroidal(cfg, params, Irs, xs_a, fn_a, fh_a,
+                                       traj.sched.bounds, t0)
+        cost = qp_mod.cost_value(cfg, xs_a, u_a, x_des_tan)
+        return mu * defect + cost, defect, cost
+
+    alphas = 0.5 ** jnp.arange(cfg.max_ls_iters + 1, dtype=dtype)
+    merits, defects, costs = jax.vmap(merit_at)(alphas)
+    merit0, defect0, cost0 = merit_at(jnp.zeros((), dtype))
+
+    scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(cqp.q)), jnp.abs(cost0))
+    good = ((sol.gap < 1e-3 * scale) & (sol.pri_res < 1e-3 * scale)
+            & jnp.all(jnp.isfinite(sol.x)))
+
+    grad_cost = cqp.H[:n_s, :n_s] @ u_prev + cqp.q[:n_s]
+    dir_deriv = jnp.dot(grad_cost, p_u) - mu * defect0
+    armijo_ok = (merit0 - merits) >= -1e-5 * alphas * dir_deriv
+    first_ok = jnp.argmax(armijo_ok)
+    alpha = jnp.where(jnp.any(armijo_ok), alphas[first_ok],
+                      jnp.zeros((), dtype))
+    alpha = jnp.where(good, alpha, jnp.zeros((), dtype))
+
+    u_new = jnp.where(good, u_prev + alpha * p_u, u_prev)
+    xs_new = jnp.where(good, xs_prev + alpha * p_x, xs_prev)
+    fn_new, fh_new = unravel(u_new)
+    x_man_new = jax.vmap(srb.tangent_to_manifold)(xs_new)
+    traj_new = Trajectory(x_man=x_man_new, f_nodes=fn_new,
+                          footholds=fh_new, sched=traj.sched)
+
+    nominal = jnp.asarray(cfg.ee_box_size, dtype)
+    ee_box = jnp.where(good,
+                       jnp.maximum(nominal, state.ee_box - 0.05),
+                       state.ee_box + 0.05)
+
+    new_warm = None
+    if state.qp_warm is not None:
+        reset = good & (alpha == 0.0)
+        new_warm = sol._replace(
+            gap=jnp.where(reset, jnp.asarray(jnp.inf, dtype), sol.gap))
+
+    sel = jnp.argmin(jnp.abs(alphas - alpha))
+    at0 = alpha == 0.0
+    stats = solver_mod.SolveStats(
+        cost=jnp.where(at0, cost0, costs[sel]),
+        merit=jnp.where(at0, merit0, merits[sel]),
+        defect_l1=jnp.where(at0, defect0, defects[sel]),
+        step_norm=jnp.linalg.norm(p_u) * alpha, alpha=alpha,
+        qp_gap=sol.gap, qp_pri=sol.pri_res, qp_dua=sol.dua_res,
+        solved=good)
+    # carry structure must match the input's (scan): vj stays None if the
+    # caller did not allocate it (make_centroidal_state does)
+    vj_out = None
+    if state.vj is not None:
+        vj_out = jnp.where(good, vj_star, state.vj)
+    new_state = CentroidalState(traj=traj_new, ee_box=ee_box,
+                                configs=configs, qp_warm=new_warm,
+                                vj=vj_out)
+    return new_state, stats
+
+
+def create_initial_run_centroidal(cfg: MPCConfig, model: RobotModel,
+                                  params: srb.SRBParams,
+                                  state: CentroidalState, x0_man: jax.Array,
+                                  ee_pos0: jax.Array, x_des_tan: jax.Array,
+                                  t0: jax.Array | float = 0.0):
+    """SQP-to-convergence init for the centroidal RTI (MPC::CreateInitialRun
+    cadence, <= cfg.init_run_iters iterations)."""
+    t0 = jnp.asarray(t0, x0_man.dtype)
+
+    def body(st, _):
+        st, stats = solve_centroidal_step(cfg, model, params, st, x0_man,
+                                          t0, ee_pos0, x_des_tan,
+                                          shift_window=False)
+        return st, stats
+
+    state, stats = jax.lax.scan(body, state, None, length=cfg.init_run_iters)
+    return state, jax.tree.map(lambda a: a[-1], stats)
