@@ -177,7 +177,9 @@ class HardwareRobot:
                  traj_buffer_size: int = 0,
                  stand_config: Optional[np.ndarray] = None,
                  stand_time: float = 0.5,
-                 kp_stand: float = 35.0, kd_stand: float = 1.0):
+                 kp_stand: float = 35.0, kd_stand: float = 1.0,
+                 log_path: Optional[str] = None,
+                 log_decimation: int = 10):
         self.nj = nj
         self.udp = udp
         self.control_fn = control_fn
@@ -200,6 +202,17 @@ class HardwareRobot:
         self._seq = 0
         self.overruns = 0
         self.ticks = 0
+        # decimated per-tick state/command log (reference's three decimated
+        # hardware log files at state_record_pattern,
+        # hardware_robot.cpp:183-186)
+        self.log = None
+        if log_path is not None:
+            from bilevel_gait_gen_tpu.utils import lowlevel_log as llog_mod
+            self.log = llog_mod.LowLevelLog(
+                log_path,
+                fields=[("t", 1), ("q", nj), ("dq", nj), ("tau", nj),
+                        ("mode", 1)],
+                decimation=log_decimation)
 
     def set_mode(self, mode: Mode):
         """Interactive mode switch (reference hardware_interface.cpp:153-176
@@ -259,6 +272,9 @@ class HardwareRobot:
 
         self._seq += 1
         self.udp.send(pack_command(self._seq, q_des, dq_des, kp, kd, tau))
+        if self.log is not None:
+            self.log.record(t=np.asarray([t]), q=q_j, dq=dq, tau=tau,
+                            mode=np.asarray([float(self.mode.value)]))
         return True
 
     def run(self, duration_s: float, rate_hz: float = 2000.0):
@@ -276,3 +292,6 @@ class HardwareRobot:
 
     def stop(self):
         self._stop.set()
+        if self.log is not None:
+            self.log.close()
+            self.log = None

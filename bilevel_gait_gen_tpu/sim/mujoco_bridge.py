@@ -153,6 +153,33 @@ class MujocoLoop:
                     flags[name_to_e[g]] = True
         return flags
 
+    def contact_forces(self) -> np.ndarray:
+        """[E, 3] world-frame ground-reaction force per foot (sum of
+        mj_contactForce over that foot's active contacts, rotated out of
+        the contact frame) — the measured-GRF column of the reference's
+        per-tick log (QPControl::LogInfo, qp_control.h:160-170)."""
+        d = self.mj_data
+        m = self.mj_model
+        out = np.zeros((self.model.num_ee, 3))
+        name_to_e = {n: e for e, n in enumerate(self.model.ee_names)}
+        f6 = np.zeros(6)
+        for i in range(d.ncon):
+            g1 = self._mujoco.mj_id2name(m, self._mujoco.mjtObj.mjOBJ_GEOM,
+                                         d.contact[i].geom1)
+            g2 = self._mujoco.mj_id2name(m, self._mujoco.mjtObj.mjOBJ_GEOM,
+                                         d.contact[i].geom2)
+            e = name_to_e.get(g1, name_to_e.get(g2))
+            if e is None:
+                continue
+            self._mujoco.mj_contactForce(m, d, i, f6)
+            frame = d.contact[i].frame.reshape(3, 3)
+            fw = frame.T @ f6[:3]            # contact frame -> world
+            # mj_contactForce reports the force ON geom1; flip if the foot
+            # is geom1 (we want the force ON the foot from the floor)
+            out[e] += fw if g2 in name_to_e else -fw if g1 in name_to_e \
+                else fw
+        return out
+
     def _draw_overlay(self, scn):
         """Draw the stored MPC plan into a viewer user scene
         (Simulator::UpdateVizGeoms, simulation/visualization.cpp: planned

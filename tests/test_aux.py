@@ -2,6 +2,7 @@
 timers.
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,3 +105,62 @@ def test_stage_timers():
         pass
     assert st.counts["a"] == 2
     assert "a" in st.summary()
+
+
+def test_lowlevel_log_round_trip(tmp_path):
+    """Per-tick observability stream (VERDICT r4 item 7): decimation,
+    binary append, parse-back (QPControl::LogInfo +
+    hardware_robot.cpp:183-186 analog)."""
+    import numpy as np
+    from bilevel_gait_gen_tpu.utils import lowlevel_log as ll
+    path = str(tmp_path / "low.bggl")
+    with ll.LowLevelLog(path, fields=[("t", 1), ("q", 3), ("tau", 2)],
+                        decimation=3) as log:
+        for i in range(10):
+            log.record(t=np.asarray([0.1 * i]),
+                       q=np.asarray([i, i + 1, i + 2]),
+                       tau=np.asarray([i, -i]))
+    out = ll.load(path)
+    # 10 calls, decimation 3 -> calls 0, 3, 6, 9 recorded
+    assert out["decimation"] == 3
+    np.testing.assert_allclose(out["t"][:, 0], [0.0, 0.3, 0.6, 0.9],
+                               atol=1e-6)
+    np.testing.assert_allclose(out["q"][2], [6, 7, 8], atol=1e-6)
+    np.testing.assert_allclose(out["tau"][3], [9, -9], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_closed_loop_writes_lowlevel_log(tmp_path):
+    """run_closed_loop streams the per-tick q/v/tau/GRF/contact log and
+    the parsed-back standing GRF carries the robot's weight."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bilevel_gait_gen_tpu.control import wbqp
+    from bilevel_gait_gen_tpu.models import a1
+    from bilevel_gait_gen_tpu.mpc import gait
+    from bilevel_gait_gen_tpu.sim import closed_loop as cl
+    from bilevel_gait_gen_tpu.utils import lowlevel_log as ll
+    from bilevel_gait_gen_tpu.utils.config import MPCConfig
+
+    cfg = MPCConfig(ipm_iters=12, force_carrier=True,
+                    init_run_iters=3).validate()
+    model = a1.make_a1()
+    q0 = cl.settled_start(model, np.asarray(a1.stand_config(), np.float64))
+    path = str(tmp_path / "loop.bggl")
+    res = cl.run_closed_loop(model, cfg, wbqp.WBQPConfig(), q0,
+                             np.zeros(model.nv), seconds=0.3,
+                             sched=gait.make_standing(cfg),
+                             lowlevel_log=path, log_decimation=5)
+    out = ll.load(path)
+    n_rows = out["q"].shape[0]
+    assert n_rows >= 50                      # 300 ticks / decimation 5
+    assert out["q"].shape[1] == model.nq
+    assert out["tau"].shape[1] == model.num_joints
+    assert np.all(np.isfinite(out["grf"]))
+    # standing: total vertical GRF ~ m g (averaged past the transient)
+    fz = out["grf"].reshape(n_rows, model.num_ee, 3)[:, :, 2].sum(axis=1)
+    mg = float(model.total_mass) * 9.81
+    assert abs(np.mean(fz[n_rows // 2:]) - mg) < 0.3 * mg, \
+        (np.mean(fz[n_rows // 2:]), mg)
+    # contacts all planted while standing
+    assert np.all(out["contact"][n_rows // 2:] > 0.5)
