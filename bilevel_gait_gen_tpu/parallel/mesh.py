@@ -57,6 +57,37 @@ def batched_solve_step(cfg: MPCConfig, params: SRBParams):
     return jax.jit(jax.vmap(step, in_axes=(0, 0, None, 0, None)))
 
 
+def batched_solve_chain(cfg: MPCConfig, params: SRBParams, n_steps: int):
+    """`n_steps` chained batched RTIs inside ONE jitted scan.
+
+    The multi-process scaling measurement needs this: on the CPU
+    jax.distributed backend every dispatch of a computation over a
+    multi-process mesh pays a cross-process coordination cost measured at
+    ~0.4 s (2 procs) — 30x the tiny-config step compute — so timing
+    per-dispatch steps measures the rendezvous, not the scaling.  Chaining
+    the steps in-graph amortizes one dispatch over the whole chain, which
+    is also how a real TPU-pod control loop runs (the scan stays
+    on-device).  Returns a jitted fn(states, x0s, t0, ee0s, x_des) ->
+    (states, last_stats).
+    """
+    def step(state, x0, t0, ee0, x_des):
+        return solver_mod.solve_step(cfg, params, state, x0, t0, ee0, x_des)
+
+    vstep = jax.vmap(step, in_axes=(0, 0, None, 0, None))
+
+    @jax.jit
+    def chain(states, x0s, t0, ee0s, x_des):
+        def body(s, k):
+            s2, stats = vstep(s, x0s, t0 + k * cfg.dt, ee0s, x_des)
+            return s2, None
+
+        states, _ = jax.lax.scan(body, states, jnp.arange(n_steps))
+        s2, stats = vstep(states, x0s, t0 + n_steps * cfg.dt, ee0s, x_des)
+        return s2, stats
+
+    return chain
+
+
 def batched_gait_opt_update(cfg: MPCConfig, params: SRBParams):
     """vmap of the full bilevel update (QP gradient -> projection QP ->
     alpha line search) over a scenario batch.

