@@ -284,3 +284,273 @@ def ipm_iter(H, q, A, b, G, h, g_active, x, y, lam, s, done, it, best,
     it2 = jnp.round(pack2[0, 2]).astype(jnp.int32)
     best2 = (bx2[0], by2[0], blam2[0], bs2[0], pack2[0, 3])
     return (x2[0], y2[0], lam2[0], s2[0], done2, it2, best2, Mi2)
+
+
+# ----------------------------------------------------------------------------
+# Batched SPD inverse: in-VMEM Gauss-Jordan leaves + 128-aligned Schur
+# ----------------------------------------------------------------------------
+
+def _gj_kernel(m_ref, out_ref):
+    """In-place Gauss-Jordan inverse of one [n, n] SPD matrix, entirely in
+    VMEM.
+
+    The production exact-sweep bottleneck is the batched Cholesky + two
+    triangular passes (XLA expands them into long sequential
+    dynamic-update-slice loops with an HBM round trip per panel).  Here the
+    whole matrix stays in VMEM across all n elimination steps; each step is
+    a masked rank-1 update — pure VPU dataflow, no scatters (Mosaic has no
+    scatter), no custom calls.  GJ without pivoting is the SPD-safe
+    elimination (pivots are Schur-complement diagonals, positive for SPD);
+    unlike a Cholesky it has no sqrt to NaN on a marginally indefinite
+    f32 matrix.
+    """
+    n = m_ref.shape[-1]
+    dtype = m_ref.dtype
+    A0 = m_ref[...]
+    # all masks/reductions stay 2-D: Mosaic's vector layouts reject 1-D
+    # multi_reductions ("Offset change") and 0-D scalar reduces of lane
+    # vectors; keepdims keeps every intermediate in a (sublane, lane) tile
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)     # [n, 1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)     # [1, n]
+
+    def step(j, A):
+        oh_r = row_ids == j                            # [n, 1]
+        oh_c = col_ids == j                            # [1, n]
+        # rowj = A[j, :], col = A[:, j] via masked keepdims reduces (no
+        # dynamic lane indexing on TPU)
+        rowj = jnp.sum(jnp.where(oh_r, A, 0.0), axis=0,
+                       keepdims=True)                  # [1, n]
+        p = jnp.sum(jnp.where(oh_c, rowj, 0.0), axis=1,
+                    keepdims=True)                     # [1, 1] = A[j, j]
+        # SPD pivots are positive; the floor only guards exact zeros from
+        # all-masked padding
+        pinv = 1.0 / jnp.where(jnp.abs(p) < 1e-30, 1e-30, p)
+        rowj_m = jnp.where(oh_c, 1.0, rowj) * pinv               # [1, n]
+        col = jnp.sum(jnp.where(oh_c, A, 0.0), axis=1,
+                      keepdims=True)                   # [n, 1]
+        colz = jnp.where(oh_r, 0.0, col)                         # [n, 1]
+        upd = A - colz * rowj_m
+        colh = pinv * (oh_r.astype(dtype) - colz)                # [n, 1]
+        return jnp.where(oh_c, colh, jnp.where(oh_r, rowj_m, upd))
+
+    out_ref[...] = jax.lax.fori_loop(0, n, step, A0)
+
+
+def _gj_block(A0, n: int, dtype):
+    """Masked scalar GJ inverse of one [n, n] block held as a VALUE (the
+    per-step math of `_gj_kernel`, reused for the diagonal blocks of the
+    blocked kernel)."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def step(j, A):
+        oh_r = row_ids == j
+        oh_c = col_ids == j
+        rowj = jnp.sum(jnp.where(oh_r, A, 0.0), axis=0, keepdims=True)
+        p = jnp.sum(jnp.where(oh_c, rowj, 0.0), axis=1, keepdims=True)
+        pinv = 1.0 / jnp.where(jnp.abs(p) < 1e-30, 1e-30, p)
+        rowj_m = jnp.where(oh_c, 1.0, rowj) * pinv
+        col = jnp.sum(jnp.where(oh_c, A, 0.0), axis=1, keepdims=True)
+        colz = jnp.where(oh_r, 0.0, col)
+        upd = A - colz * rowj_m
+        colh = pinv * (oh_r.astype(dtype) - colz)
+        return jnp.where(oh_c, colh, jnp.where(oh_r, rowj_m, upd))
+
+    return jax.lax.fori_loop(0, n, step, A0)
+
+
+def _gj_kernel_blocked(m_ref, out_ref):
+    """Blocked-panel Gauss-Jordan inverse: 128-wide block pivots.
+
+    The scalar kernel's n full-matrix rank-1 passes are VPU-bound at the
+    same ~10 ms/batch-128 as the XLA Cholesky they replace.  Block pivots
+    restructure the elimination so the O(n^3) work is nb=n/128 MXU panel
+    products ([n,128] @ [128,n]) and only the nb diagonal-block inverses
+    run the scalar masked GJ (on [128,128], (n/128)^2 x cheaper per step).
+    All slices/concats are at static 128-aligned offsets (the Python loop
+    is unrolled), so Mosaic sees tile-aligned ops only.
+
+    Block step (identity-trick in-place form, the block generalization of
+    the scalar kernel — note the explicit column-panel overwrite, exactly
+    as the scalar version needs its `colh`):
+
+        Dinv  = inv(A[J,J])
+        rowJ  = Dinv @ (A[J,:] with block J := I)      (row panel)
+        colz  = A[:,J] with block J := 0
+        A    -= colz @ rowJ                            (MXU rank-128 update)
+        A[J,:] = rowJ;  A[:,J] = -colz @ Dinv with block J := Dinv
+    """
+    n = m_ref.shape[-1]
+    dtype = m_ref.dtype
+    w = 128
+    nb = n // w
+    A = m_ref[...]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)     # [1, n]
+    row_ids_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)   # [w, 1]
+    col_ids_w = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)   # rows of A
+
+    eye_w = (jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)).astype(dtype)
+    for J in range(nb):
+        lo = J * w
+        D = A[lo:lo + w, lo:lo + w]
+        Dinv = _gj_block(D, w, dtype)
+        # polish the block inverse (cheap [w, w] GEMMs); the remaining
+        # near-singular-matrix instability is structural (the panel
+        # products ARE a 2x2 Schur assembly) and handled by the SHIFT +
+        # deflation in spd_inverse, not here
+        hi = jax.lax.Precision.HIGHEST
+        for _ in range(1):
+            Dinv = jax.lax.dot_general(
+                Dinv, 2.0 * eye_w - jax.lax.dot_general(
+                    D, Dinv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype, precision=hi),
+                (((1,), (0,)), ((), ())), preferred_element_type=dtype,
+                precision=hi)
+        rowJ = A[lo:lo + w, :]                                   # [w, n]
+        in_cols = (col_ids >= lo) & (col_ids < lo + w)           # [1, n]
+        eye_at_J = ((row_ids_w + lo) == col_ids).astype(dtype)   # [w, n]
+        rowJ_mod = jnp.where(in_cols, eye_at_J, rowJ)
+        rowJ_m = jax.lax.dot_general(
+            Dinv, rowJ_mod, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)                 # [w, n]
+        colJ = A[:, lo:lo + w]                                   # [n, w]
+        in_rows = (col_ids_w >= lo) & (col_ids_w < lo + w)       # [n, 1]
+        colz = jnp.where(in_rows, 0.0, colJ)
+        A = A - jax.lax.dot_general(
+            colz, rowJ_m, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)                 # MXU update
+        # overwrite row panel J (static sublane concat)
+        parts = []
+        if lo:
+            parts.append(A[:lo, :])
+        parts.append(rowJ_m)
+        if lo + w < n:
+            parts.append(A[lo + w:, :])
+        A = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        # overwrite column panel J: -colz @ Dinv, with block J := Dinv
+        colh = -jax.lax.dot_general(colz, Dinv, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=dtype,
+                                    precision=jax.lax.Precision.HIGHEST)
+        cparts = []
+        if lo:
+            cparts.append(colh[:lo, :])
+        cparts.append(Dinv)
+        if lo + w < n:
+            cparts.append(colh[lo + w:, :])
+        colh = (jnp.concatenate(cparts, axis=0) if len(cparts) > 1
+                else cparts[0])
+        lparts = []
+        if lo:
+            lparts.append(A[:, :lo])
+        lparts.append(colh)
+        if lo + w < n:
+            lparts.append(A[:, lo + w:])
+        A = jnp.concatenate(lparts, axis=1) if len(lparts) > 1 else lparts[0]
+
+    out_ref[...] = A
+
+
+def gj_inverse(M: jax.Array, interpret: bool | None = None) -> jax.Array:
+    """Batched SPD inverse of [..., n, n] via the Gauss-Jordan kernel.
+
+    n must be a multiple of 128 (pad with an identity block — see
+    `spd_inverse`).  Batch dims ride the grid via vmap.  Falls back to the
+    Cholesky path off-TPU unless `interpret`.
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    if not _HAS_PALLAS or (not interpret
+                           and jax.default_backend() not in ("tpu", "axon")):
+        from bilevel_gait_gen_tpu.ops import pdip as pdip_mod
+        return pdip_mod._chol_inverse(M)
+
+    n = M.shape[-1]
+    kernel = _gj_kernel_blocked if n % 128 == 0 else _gj_kernel
+
+    def one(Mi):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, n), M.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(Mi)
+
+    fn = one
+    for _ in range(M.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(M)
+
+
+def spd_inverse(M: jax.Array, interpret: bool | None = None,
+                shift: float = 1e-3, deflate: int = 10) -> jax.Array:
+    """SPD inverse of [..., n, n] for arbitrary n: Jacobi-scale to unit
+    diagonal, pad to a multiple of 128 (identity padding block — exact),
+    blocked-GJ-invert the SHIFTED matrix M + shift*I, then deflate the
+    shift with guarded Newton-Schulz steps, unscale.
+
+    Why the shift: BOTH explicit block assemblies tried here — the 2x2
+    recursive Schur recombination AND the blocked-panel GJ (which is the
+    same algebra per panel) — cancel catastrophically on near-singular
+    matrices (measured on the real Mehrotra-init matrix, kappa 3e6 after
+    Jacobi scaling: blocked residual 8.5 vs Cholesky's 1.7e-2; the scalar
+    elimination is stable but VPU-bound at the same ~10 ms as the XLA
+    Cholesky it would replace).  Shifting by `shift` (relative to the unit
+    Jacobi diagonal) bounds the blocked recursion's condition number to
+    ~n/shift, where it is accurate; the guarded deflation
+    X <- X (2I - Mj X) then squares the residual r0 ~ shift/(shift +
+    lambda_min) < 1 down to the kappa*eps floor (measured: matches
+    `_chol_inverse` on the real init matrix).  The guard keeps the
+    best-residual iterate per batch element, so degradation is graceful.
+    Cost: the kernel's MXU panel products + 3*deflate GEMMs — measured
+    5.6 ms kernel + ~2 ms deflation vs 10.3 ms for the batched Cholesky
+    expansion at [128, 232, 232].
+
+    STATUS: EXPERIMENTAL (cfg.ipm_inverse="gj").  Correct and faster on
+    cold/moderate-W IPM matrices (validated on the real Mehrotra-init
+    matrix and the random-W spectrum, TPU-measured), but WARM-started
+    solves clip W into [1.2e-5, 8e4], putting the Jacobi-scaled spectrum
+    spread past 1e9 — there the deflation's initial residual
+    shift/(shift+lambda_min) rounds to 1.0 in f32 and the weak subspace
+    never deflates (measured: warm RTIs fail their solve-quality gate
+    while cold solves pass).  Spanning that range needs a sequential
+    factorization (the Cholesky, or a LAPACK-style right-looking blocked
+    elimination whose panel pivots stay sequential); parked.
+    """
+    n = M.shape[-1]
+    n_p = _round_up(n, 128)
+    with jax.default_matmul_precision("highest"):
+        dg = jnp.diagonal(M, axis1=-2, axis2=-1)
+        d = jax.lax.rsqrt(jnp.maximum(
+            dg, 1e-12 * jnp.maximum(jnp.max(dg, axis=-1, keepdims=True),
+                                    1.0)))
+        Mj = M * d[..., :, None] * d[..., None, :]
+    if n_p != n:
+        pad = [(0, 0)] * (M.ndim - 2) + [(0, n_p - n), (0, n_p - n)]
+        Mp = jnp.pad(Mj, pad)
+        eye_tail = jnp.concatenate(
+            [jnp.zeros(n, M.dtype), jnp.ones(n_p - n, M.dtype)])
+        Mp = Mp + jnp.diag(eye_tail)
+    else:
+        Mp = Mj
+    eye_p = jnp.eye(n_p, dtype=M.dtype)
+    out = gj_inverse(Mp + shift * eye_p, interpret=interpret)
+    if deflate:
+        with jax.default_matmul_precision("highest"):
+            def resid(X):
+                return jnp.max(jnp.abs(Mp @ X - eye_p), axis=(-2, -1))
+
+            r_best = resid(out)
+            for _ in range(deflate):
+                cand = out @ (2.0 * eye_p - Mp @ out)
+                r = resid(cand)
+                take = (r < r_best) & jnp.isfinite(r)
+                out = jnp.where(take[..., None, None], cand, out)
+                r_best = jnp.minimum(r_best, jnp.where(jnp.isfinite(r), r,
+                                                       r_best))
+    out = out[..., :n, :n]
+    # undo the Jacobi scaling: inv(M) = D inv(D M D) D
+    return out * d[..., :, None] * d[..., None, :]

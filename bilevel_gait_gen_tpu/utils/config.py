@@ -113,6 +113,18 @@ class MPCConfig:
     # splitting (the reference's solver switch, mpc/mpc.cpp:49,71)
     qp_backend: str = "pdip"
     admm_iters: int = 400
+    # exact-refresh SPD inverse: "chol" = XLA Cholesky + two triangular
+    # passes (production), "gj" = blocked-panel Gauss-Jordan Pallas kernel
+    # with shift + guarded Newton-Schulz deflation (EXPERIMENTAL: measured
+    # 5.6 ms vs Cholesky's 10.3 ms at [128, 232, 232] and correct on cold
+    # / moderate-W matrices, but WARM-started IPM solves put the
+    # Jacobi-scaled spectrum spread past 1e9, where the f32 deflation's
+    # initial residual rounds to 1 and the weak subspace never converges —
+    # measured: warm RTIs fail their quality gate while the cold first
+    # solve passes.  A LAPACK-style right-looking blocked elimination
+    # would fix it; parked — see ops/pallas_kernels.py::spd_inverse).
+    # Non-TPU backends fall back to "chol" either way.
+    ipm_inverse: str = "chol"
 
     # Gait schedule defaults (reference CreateDefaultSwitchingTimes:
     # 0.3 s phases, trot parity trajectory.cpp:24-28)

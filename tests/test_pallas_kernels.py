@@ -79,3 +79,57 @@ def test_fused_ipm_warm_and_ns_interpret():
     assert float(warm.gap) < 1e-5
     np.testing.assert_allclose(np.asarray(warm.x), np.asarray(cold.x),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_gj_inverse_matches_chol_interpret():
+    """The Gauss-Jordan Pallas leaf (interpret mode) inverts SPD matrices
+    to Cholesky-equivalent residuals, batched."""
+    from bilevel_gait_gen_tpu.ops import pdip
+    rng = np.random.default_rng(5)
+    n, B = 128, 3
+    L = rng.standard_normal((B, n, n)).astype(np.float32) / np.sqrt(n)
+    M = jnp.asarray(L @ np.swapaxes(L, -1, -2) + 0.1 * np.eye(n),
+                    jnp.float32)
+    X = pk.gj_inverse(M, interpret=True)
+    Xc = jax.vmap(pdip._chol_inverse)(M)
+    eye = np.eye(n, dtype=np.float32)
+    for b in range(B):
+        r = float(jnp.abs(M[b] @ X[b] - eye).max())
+        rc = float(jnp.abs(M[b] @ Xc[b] - eye).max())
+        assert np.isfinite(r)
+        assert r < 20 * max(rc, 1e-6), (b, r, rc)
+
+
+def test_spd_inverse_ipm_spectrum_interpret():
+    """`spd_inverse` (128-aligned Schur + GJ leaves) on W-dominated IPM
+    KKT matrices across the conditioning spectrum, UNALIGNED n=232 —
+    the exact production shape; must match Cholesky residuals and stay
+    finite on the near-singular pure-H-like case that NaNs the raw
+    Cholesky-leaf Schur recursion (ops/pdip._schur_inverse caveat)."""
+    from bilevel_gait_gen_tpu.ops import pdip
+    rng = np.random.default_rng(7)
+    n, m = 232, 400
+    Gm = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(n), jnp.float32)
+    H = jnp.eye(n, dtype=jnp.float32)
+    eye = jnp.eye(n, dtype=jnp.float32)
+    for wexp in (0.0, 1.0, 3.0, 4.0):
+        w = jnp.asarray(10.0 ** rng.uniform(-wexp, wexp, m), jnp.float32)
+        M = H + (Gm.T * w[None, :]) @ Gm + 1e-5 * eye
+        Ms = pk.spd_inverse(M, interpret=True)
+        Mc = pdip._chol_inverse(M)
+        rs = float(jnp.abs(M @ Ms - eye).max())
+        rc = float(jnp.abs(M @ Mc - eye).max())
+        assert np.isfinite(rs), wexp
+        assert rs < 20 * max(rc, 1e-6), (wexp, rs, rc)
+
+
+def test_spd_inverse_f64_exact():
+    """f64 interpret run converges to tight residuals (algorithm sanity
+    independent of f32 rounding)."""
+    rng = np.random.default_rng(9)
+    n = 160
+    L = rng.standard_normal((n, n)) / np.sqrt(n)
+    M = jnp.asarray(L @ L.T + 0.05 * np.eye(n), jnp.float64)
+    X = pk.spd_inverse(M, interpret=True)
+    r = float(jnp.abs(M @ X - jnp.eye(n, dtype=jnp.float64)).max())
+    assert r < 1e-9, r
